@@ -1,0 +1,63 @@
+"""Global configuration: precision constants, x64 setup, checkpoint flag.
+
+Mirrors the reference's tolerance constants and ``initialize()`` entry point
+(reference: src/miscellaneous.cc:44-112, src/qbasis.h:48-64), adapted to JAX:
+``initialize`` enables float64, prints an environment banner, and toggles the
+crash-consistent checkpoint subsystem.
+"""
+
+from __future__ import annotations
+
+import os
+import platform
+
+import jax
+
+# Double precision is mandatory for the 1e-8 golden-value contract: enable it
+# eagerly at import so every module traces with x64 semantics.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+# Numerical tolerances (reference: src/miscellaneous.cc:44-47).
+machine_prec = float(np.finfo(np.float64).eps)
+opr_precision = 1e-12       # for comparing operator matrix elements
+sparse_precision = 1e-14    # entries below this are dropped from sparse H
+lanczos_precision = 2e-12   # Lanczos convergence tolerance
+
+# Crash-consistent checkpointing of long Krylov runs (reference: src/ckpt.cc:11).
+enable_ckpt = False
+
+# Directory for checkpoint files (reference uses ``out_Qckpt/``).
+ckpt_dir = "out_Qckpt"
+
+# Label spaces up to this size get an O(1) direct position-lookup table on
+# device; larger spaces fall back to binary search / Lin tables.
+direct_lookup_max = 1 << 26
+
+
+def initialize(enable_checkpoint: bool = False, quiet: bool = False) -> None:
+    """Set up the library: x64, checkpoint flag, environment banner.
+
+    TPU-native analog of ``qbasis::initialize`` (reference:
+    src/miscellaneous.cc:49-112) — instead of CPUID/MKL/OpenMP reporting we
+    report the JAX backend and device inventory.
+    """
+    global enable_ckpt
+    enable_ckpt = bool(enable_checkpoint)
+    jax.config.update("jax_enable_x64", True)
+    if quiet:
+        return
+    print("=" * 64)
+    print("quantum_basis_tpu")
+    print(f"host       : {platform.node()}")
+    print(f"jax        : {jax.__version__}")
+    try:
+        devs = jax.devices()
+        print(f"backend    : {devs[0].platform} x{len(devs)}")
+    except Exception as exc:  # pragma: no cover - device discovery is env-specific
+        print(f"backend    : unavailable ({exc})")
+    print(f"x64        : {jax.config.jax_enable_x64}")
+    print(f"checkpoint : {'enabled -> ' + ckpt_dir if enable_ckpt else 'disabled'}")
+    print(f"pid        : {os.getpid()}")
+    print("=" * 64)

@@ -1,0 +1,231 @@
+"""Model orchestration: orbitals + Hamiltonian -> bases, spectra, measurements.
+
+The TPU-native counterpart of the reference's ``model<T>`` god-object
+(reference: src/model.cc, src/qbasis.h:1263-1646), with the same user-facing
+flow:
+
+    m = Model(lattice)
+    m.add_orbital(lattice.n_sites, "spin-1/2")
+    m.add_Ham(...)                          # symbolic Mopr algebra
+    m.enumerate_basis_full([Sz], [0.0])
+    m.locate_E0_lanczos()                   # -> m.eigenvals_full
+    m.measure_full_static(Sz0Sz1, 0, 0)
+
+Sectors are kept per integer index ``sec`` exactly like the reference's
+per-sector arrays (default 5 sectors, src/model.cc:75-103). The momentum
+("repr") machinery lives in :mod:`quantum_basis_tpu.basis.translation` and is
+driven from here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quantum_basis_tpu.basis.enumerate import enumerate_basis
+from quantum_basis_tpu.basis.index import BasisIndex
+from quantum_basis_tpu.basis.site_basis import SiteBasis
+from quantum_basis_tpu.basis.state import StateSpace
+from quantum_basis_tpu.ops import cplx as cx
+from quantum_basis_tpu.ops.apply import DeviceBasis, MatvecFull, mopr_x_vec
+from quantum_basis_tpu.ops.compile import compile_operator
+from quantum_basis_tpu.ops.dense import dense_matrix
+from quantum_basis_tpu.ops.operators import Mopr, Opr, OprProd
+from quantum_basis_tpu.solvers.lanczos import lanczos_dynamics, lanczos_ground
+from quantum_basis_tpu.utils.rng import vec_randomize
+
+_DENSE_CUTOFF = 600  # sectors at/below this size are solved densely on host
+
+
+class Sector:
+    """One quantum-number (and optionally momentum) sector: basis + matvec."""
+
+    def __init__(self):
+        self.labels: np.ndarray | None = None
+        self.dbasis: DeviceBasis | None = None
+        self.matvec = None
+        self.dim = 0
+
+
+class Model:
+    def __init__(self, lattice=None, n_secs: int = 5):
+        self.lattice = lattice
+        self._orbitals: list[tuple[SiteBasis, int]] = []
+        self._space: StateSpace | None = None
+        self.Ham = Mopr()
+        self._compiled = None
+        self.sec_full: dict[int, Sector] = {}
+        self.sec_repr: dict[int, object] = {}
+        self.eigenvals_full: list[float] = []
+        self.eigenvecs_full: list = []  # cvec tuples over sector basis
+        self.eigenvals_repr: list[float] = []
+        self.eigenvecs_repr: list = []
+        self._e0_sec = 0  # sector of the stored ground state
+
+    # ------------------------------------------------------------- building
+
+    def add_orbital(self, n_sites: int, name, Nmax: int | None = None):
+        """Declare one orbital covering ``n_sites`` sites (cf. model::add_orbital)."""
+        if self._space is not None:
+            raise RuntimeError("cannot add orbitals after the Hilbert space is built")
+        sb = name if isinstance(name, SiteBasis) else SiteBasis.named(name, Nmax=Nmax)
+        self._orbitals.append((sb, int(n_sites)))
+
+    @property
+    def space(self) -> StateSpace:
+        if self._space is None:
+            self._space = StateSpace(self._orbitals)
+        return self._space
+
+    def add_Ham(self, op):
+        """Accumulate a term into H (accepts Opr / OprProd / Mopr)."""
+        if isinstance(op, Opr):
+            op = Mopr([OprProd(1.0, [op])])
+        elif isinstance(op, OprProd):
+            op = Mopr([op])
+        self.Ham += op
+        self._compiled = None
+
+    @property
+    def compiled_Ham(self):
+        if self._compiled is None:
+            self._compiled = compile_operator(self.Ham, self.space)
+        return self._compiled
+
+    def compile_op(self, op):
+        if isinstance(op, Opr):
+            op = Mopr([OprProd(1.0, [op])])
+        elif isinstance(op, OprProd):
+            op = Mopr([op])
+        return compile_operator(op, self.space)
+
+    # ----------------------------------------------------------- full basis
+
+    def enumerate_basis_full(self, conserve_lst=None, val_lst=None, sec: int = 0):
+        """Enumerate the (sector-filtered) full basis; build device residency.
+
+        cf. model::enumerate_basis_full (src/model.cc:253-271).
+        """
+        labels = enumerate_basis(self.space, conserve_lst, val_lst)
+        s = Sector()
+        s.labels = labels
+        s.dim = int(labels.size)
+        index = BasisIndex(labels, self.space.label_space)
+        s.dbasis = DeviceBasis(self.space, labels, index,
+                               work_per_row=max(self.compiled_Ham.nnz_per_row, 1))
+        s.matvec = MatvecFull(self.compiled_Ham, s.dbasis)
+        self.sec_full[sec] = s
+        return s.dim
+
+    def dim_full(self, sec: int = 0) -> int:
+        return self.sec_full[sec].dim
+
+    # -------------------------------------------------------------- solvers
+
+    def _dense_solve(self, sector: Sector, nev: int, complex_h: bool):
+        H = dense_matrix(self.compiled_Ham, sector.labels)
+        assert np.max(np.abs(H - H.conj().T)) < 1e-9, "H not Hermitian"
+        evals, evecs = np.linalg.eigh(H)
+        vecs = []
+        for k in range(min(nev, sector.dim)):
+            v = evecs[:, k]
+            import jax.numpy as jnp
+
+            vecs.append((jnp.asarray(v.real.copy()),
+                         jnp.asarray(v.imag.copy()) if complex_h else None))
+        return evals[:nev].tolist(), vecs
+
+    def locate_E0_lanczos(self, which: str = "full", nev: int = 1, ncv: int = 1,
+                          maxit: int = 2000, sec: int = 0, seed: int = 1):
+        """Ground state (and optionally E1) via restarted Lanczos.
+
+        cf. model::locate_E0_lanczos (src/model.cc:1123-1316). The engine is
+        the fully-reorthogonalized thick-restart solver: its CGS2 projections
+        are (ncv, n) MXU matmuls and — unlike the reference's 2-vector
+        recurrence + CG refinement pipeline — it delivers both values and
+        vectors to solver tolerance without a separate refinement stage.
+        ``nev`` in {1, 2} = energies wanted, ``ncv`` <= nev = vectors kept.
+        """
+        if which != "full":
+            return self._locate_E0_lanczos_repr(nev, ncv, maxit, sec, seed)
+        sector = self.sec_full[sec]
+        complex_h = sector.matvec.is_complex
+        if sector.dim <= _DENSE_CUTOFF:
+            evals, vecs = self._dense_solve(sector, max(nev, ncv), complex_h)
+            self.eigenvals_full = evals
+            self.eigenvecs_full = vecs[:ncv]
+            self._e0_sec = sec
+            return
+
+        from quantum_basis_tpu.solvers.restarted import eigs_smallest
+
+        evals, vecs = eigs_smallest(
+            sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
+            maxit=maxit, seed=seed, complex_vec=complex_h,
+        )
+        self.eigenvals_full = evals[:nev]
+        self.eigenvecs_full = vecs[:max(ncv, 1)]
+        self._e0_sec = sec
+
+    def locate_E0_iram(self, which: str = "full", nev: int = 2, ncv: int = 6,
+                       maxit: int = 1000, sec: int = 0, seed: int = 1):
+        """Several lowest eigenpairs via thick-restart Lanczos (ARPACK repl.)."""
+        from quantum_basis_tpu.solvers.restarted import eigs_smallest
+
+        sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
+        if sector.dim <= _DENSE_CUTOFF and which == "full":
+            complex_h = sector.matvec.is_complex
+            evals, vecs = self._dense_solve(sector, nev, complex_h)
+            self.eigenvals_full = evals
+            self.eigenvecs_full = vecs
+            self._e0_sec = sec
+            return
+        evals, vecs = eigs_smallest(sector.matvec, sector.dim, nev=nev, ncv=ncv,
+                                    maxit=maxit, seed=seed,
+                                    complex_vec=sector.matvec.is_complex)
+        if which == "full":
+            self.eigenvals_full = evals
+            self.eigenvecs_full = vecs
+            self._e0_sec = sec
+        else:
+            self.eigenvals_repr = evals
+            self.eigenvecs_repr = vecs
+
+    # ---------------------------------------------------------- measurement
+
+    def measure_full_static(self, oprs, sec: int, which: int = 0) -> complex:
+        """<phi| O_k ... O_1 |phi> (chained); cf. model::measure_full_static
+        (src/model.cc:1663-1694). ``oprs`` is one Mopr or a list applied
+        right-to-left.
+        """
+        sector = self.sec_full[sec]
+        phi = self.eigenvecs_full[which]
+        if not isinstance(oprs, (list, tuple)):
+            oprs = [oprs]
+        y = phi
+        for op in reversed(list(oprs)):
+            y = mopr_x_vec(self.compile_op(op), sector.dbasis, sector.dbasis, y)
+        re, im = cx.vdot(phi, y)
+        return complex(float(re), 0.0 if im is None else float(im))
+
+    def measure_full_dynamic(self, A, sec_old: int, sec_new: int, m_steps: int,
+                             which: int = 0):
+        """Continued-fraction data for G_A(z) = <phi|A† (z-H)^{-1} A|phi>.
+
+        Returns (norm, alphas, betas): |v> = A|phi>, norm = ||v||, then a
+        fixed-step Lanczos on the target sector records a/b
+        (cf. model::measure_full_dynamic, src/model.cc:1696-1712).
+        """
+        src = self.sec_full[sec_old]
+        dst = self.sec_full[sec_new]
+        phi = self.eigenvecs_full[which]
+        v = mopr_x_vec(self.compile_op(A), src.dbasis, dst.dbasis, phi)
+        nrm = float(cx.norm(v))
+        v = cx.scale(v, 1.0 / nrm)
+        alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
+        return nrm, alphas, betas
+
+    # --------------------------------------------------- repr (implemented
+    # in quantum_basis_tpu.basis.translation; wired here in a later layer)
+
+    def _locate_E0_lanczos_repr(self, nev, ncv, maxit, sec, seed):
+        raise NotImplementedError("momentum sectors arrive with basis.translation")
