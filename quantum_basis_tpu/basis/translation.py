@@ -14,12 +14,13 @@ the Weisse path — here it is the primary implementation.
 Definitions (translation group {T(R)}, G elements, momentum k):
 
 - representative r of an orbit = the minimum label in the orbit;
-- P_k = (1/G) sum_R e^{-i k.R} T(R) is the projector onto momentum k
-  (phase sign fixed by the dense-projector oracle in tests);
-- norm nu_r = <r|P_k|r> = (1/G) sum_{S in Stab(r)} sigma_S e^{-i k.S},
+- P_k = (1/G) sum_R e^{+i k.R} T(R) is the projector onto momentum k
+  (sign convention pinned by the chiral-fermion oracle in tests/test_repr.py);
+- norm nu_r = <r|P_k|r> = (1/G) sum_{S in Stab(r)} sigma_S e^{i k.S},
   where T(S)|r> = sigma_S |r> defines the stabilizer sign; nu is |Stab|/G
   when k is compatible (including fermionic boundary signs) and 0 otherwise
-  (cf. norm_trans_repr, src/basis.cc:2104-2202);
+  (cf. norm_trans_repr, src/basis.cc:2104-2202). Stabilizers are closed
+  under inverse, so the sum is real and insensitive to the phase sign;
 - the sector basis is the set of representatives with nu_r > 0.
 """
 

@@ -60,6 +60,8 @@ class Model:
         self.eigenvals_repr: list[float] = []
         self.eigenvecs_repr: list = []
         self._e0_sec = 0  # sector of the stored ground state
+        self._tset = None
+        self._repr_cache = None  # (key, sector labels, orbit reps)
 
     # ------------------------------------------------------------- building
 
@@ -224,8 +226,91 @@ class Model:
         alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
         return nrm, alphas, betas
 
-    # --------------------------------------------------- repr (implemented
-    # in quantum_basis_tpu.basis.translation; wired here in a later layer)
+    # ------------------------------------------------------ momentum sectors
+
+    @property
+    def tset(self):
+        """TranslationSet over the pbc dimensions of the lattice."""
+        if self._tset is None:
+            from quantum_basis_tpu.basis.translation import TranslationSet
+
+            self._tset = TranslationSet(self.space, self.lattice)
+        return self._tset
+
+    def enumerate_basis_repr(self, momentum, conserve_lst=None, val_lst=None,
+                             sec: int = 0):
+        """Momentum-sector basis of representatives; build device residency.
+
+        cf. model::enumerate_basis_repr (src/model.cc:274-487) — here by
+        direct device-side orbit classification (SURVEY §7 step 8; the
+        reference's dual-check path made primary). Orbit minima and the
+        quantum-number-sector labels are cached across momenta.
+        """
+        from quantum_basis_tpu.basis.translation import enumerate_reps
+        from quantum_basis_tpu.ops.apply_repr import MatvecRepr, ReprBasis
+
+        def mopr_key(m):
+            return tuple(sorted(
+                ((complex(np.round(t.coeff, 12)), t._key()) for t in m.terms),
+                key=repr,
+            ))
+
+        key = (tuple(mopr_key(m) for m in (conserve_lst or [])),
+               tuple(float(v) for v in (val_lst or [])))
+        if self._repr_cache is None or self._repr_cache[0] != key:
+            labels = enumerate_basis(self.space, conserve_lst, val_lst)
+            reps = enumerate_reps(self.tset, labels)
+            self._repr_cache = (key, labels, reps)
+        _, labels, reps = self._repr_cache
+
+        s = Sector()
+        rbasis = ReprBasis(self.space, self.tset, labels, momentum,
+                           reps_all=reps,
+                           work_per_row=max(self.compiled_Ham.nnz_per_row, 1))
+        s.labels = rbasis.labels_np
+        s.dim = rbasis.n
+        s.dbasis = rbasis
+        s.matvec = MatvecRepr(self.compiled_Ham, rbasis)
+        s.momentum = rbasis.momentum
+        self.sec_repr[sec] = s
+        return s.dim
+
+    def dim_repr(self, sec: int = 0) -> int:
+        return self.sec_repr[sec].dim
+
+    def _dense_solve_repr(self, sector, nev: int):
+        """Small momentum sectors: materialize H_k by unit-vector applies."""
+        import jax.numpy as jnp
+
+        n = sector.dim
+        H = np.zeros((n, n), dtype=np.complex128)
+        mv = sector.matvec
+        for j in range(n):
+            e = np.zeros(n)
+            e[j] = 1.0
+            yr, yi = mv((jnp.asarray(e), None))
+            H[:, j] = np.asarray(yr) + 1j * np.asarray(yi)
+        herm_err = np.max(np.abs(H - H.conj().T))
+        assert herm_err < 1e-9, f"H_k not Hermitian: {herm_err}"
+        evals, evecs = np.linalg.eigh(H)
+        vecs = [(jnp.asarray(evecs[:, i].real.copy()),
+                 jnp.asarray(evecs[:, i].imag.copy()))
+                for i in range(min(nev, n))]
+        return evals[:nev].tolist(), vecs
 
     def _locate_E0_lanczos_repr(self, nev, ncv, maxit, sec, seed):
-        raise NotImplementedError("momentum sectors arrive with basis.translation")
+        sector = self.sec_repr[sec]
+        if sector.dim <= _DENSE_CUTOFF:
+            evals, vecs = self._dense_solve_repr(sector, max(nev, ncv, 1))
+            self.eigenvals_repr = evals
+            self.eigenvecs_repr = vecs[:max(ncv, 1)]
+            return
+
+        from quantum_basis_tpu.solvers.restarted import eigs_smallest
+
+        evals, vecs = eigs_smallest(
+            sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
+            maxit=maxit, seed=seed, complex_vec=True,
+        )
+        self.eigenvals_repr = evals[:nev]
+        self.eigenvecs_repr = vecs[:max(ncv, 1)]
