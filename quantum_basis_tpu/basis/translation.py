@@ -83,11 +83,11 @@ class TranslationSet:
     def phases(self, momentum):
         """e^{-i k.R} per group element: (cos (G,), sin (G,)) numpy arrays.
 
-        ``momentum`` is the integer momentum vector (k_d in [0, L_d)); the
-        phase angle is -2*pi*sum_d k_d R_d / L_d.
+        ``momentum`` is the integer momentum vector; the phase angle is
+        -2*pi*(k.R fraction) with the fraction delegated to the lattice
+        (k_d R_d / L_d on rectangular supercells, m @ A^{-T} R on tilted).
         """
-        m = np.asarray(momentum, dtype=np.float64)
-        ang = -2.0 * np.pi * (self.disps @ (m / np.asarray(self.lattice.L))
+        ang = -2.0 * np.pi * (self.lattice.k_dot_R(momentum, self.disps)
                               if self.disps.size else np.zeros(self.G))
         return np.cos(ang), np.sin(ang)
 

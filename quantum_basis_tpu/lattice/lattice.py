@@ -181,6 +181,13 @@ class Lattice:
             plans.append(self.translation_plan(list(combo)))
         return np.asarray(disps, dtype=np.int64), np.asarray(plans, dtype=np.int64)
 
+    def k_dot_R(self, momentum, disps) -> np.ndarray:
+        """Fractional k.R products sum_d k_d R_d / L_d per displacement row
+        (generalized by TiltedLattice to m @ A^{-T} R)."""
+        m = np.asarray(momentum, dtype=np.float64)
+        disps = np.atleast_2d(np.asarray(disps, dtype=np.float64))
+        return disps @ (m / self.L)
+
     def rotation_plan(self, origin: int, angle: float) -> np.ndarray:
         """2-d rotation permutation about a site (single-sublattice lattices
         only, like the reference: src/lattice.cc:983-1028)."""

@@ -44,6 +44,9 @@ class Sector:
         self.dbasis: DeviceBasis | None = None
         self.matvec = None
         self.dim = 0
+        self.momentum = None
+        self.evals: list = []   # per-sector stored eigenpairs (the reference
+        self.evecs: list = []   # keeps per-sector arrays, src/model.cc:75-103)
 
 
 class Model:
@@ -155,18 +158,63 @@ class Model:
             evals, vecs = self._dense_solve(sector, max(nev, ncv), complex_h)
             self.eigenvals_full = evals
             self.eigenvecs_full = vecs[:ncv]
+            sector.evals, sector.evecs = evals, vecs
             self._e0_sec = sec
             return
 
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 
-        evals, vecs = eigs_smallest(
-            sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
-            maxit=maxit, seed=seed, complex_vec=complex_h,
-        )
+        key = f"lczsE0_full_sec{sec}_nev{nev}"
+        done = self._ckpt_stage_load(key, complex_h)
+        if done is not None:
+            evals, vecs = done
+        else:
+            evals, vecs = eigs_smallest(
+                sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
+                maxit=maxit, seed=seed, complex_vec=complex_h,
+                ckpt_key=key + "_krylov",
+            )
+            self._ckpt_stage_save(key, evals, vecs)
         self.eigenvals_full = evals[:nev]
         self.eigenvecs_full = vecs[:max(ncv, 1)]
+        sector.evals, sector.evecs = list(evals), list(vecs)
         self._e0_sec = sec
+
+    # ------------------------------------------------- stage checkpointing
+
+    def _ckpt_stage_load(self, key, complex_h):
+        """Load a completed solve stage (cf. ckpt_lczsE0_init,
+        src/model.cc:2521-2749); None if absent/invalid."""
+        from quantum_basis_tpu.utils.ckpt import active_store
+
+        store = active_store()
+        if store is None:
+            return None
+        rec = store.load(key)
+        if rec is None:
+            return None
+        import jax.numpy as jnp
+
+        nev = int(rec["nev"])
+        evals = [float(x) for x in rec["evals"]]
+        vecs = []
+        for i in range(nev):
+            vr = jnp.asarray(rec[f"v{i}_re"])
+            vi = jnp.asarray(rec[f"v{i}_im"]) if complex_h else None
+            vecs.append((vr, vi))
+        return evals, vecs
+
+    def _ckpt_stage_save(self, key, evals, vecs):
+        from quantum_basis_tpu.utils.ckpt import active_store
+
+        store = active_store()
+        if store is None:
+            return
+        payload = {"nev": len(vecs), "evals": np.asarray(evals)}
+        for i, (vr, vi) in enumerate(vecs):
+            payload[f"v{i}_re"] = np.asarray(vr)
+            payload[f"v{i}_im"] = np.asarray(vi) if vi is not None else np.zeros(1)
+        store.save(key, payload)
 
     def locate_E0_iram(self, which: str = "full", nev: int = 2, ncv: int = 6,
                        maxit: int = 1000, sec: int = 0, seed: int = 1):
@@ -179,11 +227,13 @@ class Model:
             evals, vecs = self._dense_solve(sector, nev, complex_h)
             self.eigenvals_full = evals
             self.eigenvecs_full = vecs
+            sector.evals, sector.evecs = evals, vecs
             self._e0_sec = sec
             return
         evals, vecs = eigs_smallest(sector.matvec, sector.dim, nev=nev, ncv=ncv,
                                     maxit=maxit, seed=seed,
                                     complex_vec=sector.matvec.is_complex)
+        sector.evals, sector.evecs = list(evals), list(vecs)
         if which == "full":
             self.eigenvals_full = evals
             self.eigenvecs_full = vecs
@@ -191,6 +241,51 @@ class Model:
         else:
             self.eigenvals_repr = evals
             self.eigenvecs_repr = vecs
+
+    def locate_Emax_iram(self, which: str = "full", nev: int = 2, ncv: int = 8,
+                         maxit: int = 1000, sec: int = 0, seed: int = 1):
+        """Largest eigenpairs (cf. model::locate_Emax_iram,
+        src/model.cc:1386-1421) via thick-restart Lanczos which='LA'."""
+        from quantum_basis_tpu.solvers.restarted import eigs_smallest
+
+        sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
+        complex_h = (sector.matvec.is_complex if which == "full" else True)
+        evals, vecs = eigs_smallest(
+            sector.matvec, sector.dim, nev=nev, ncv=max(ncv, 2 * nev + 4),
+            maxit=maxit, seed=seed, complex_vec=complex_h, which="LA",
+        )
+        if which == "full":
+            self.eigenvals_full = evals
+            self.eigenvecs_full = vecs
+        else:
+            self.eigenvals_repr = evals
+            self.eigenvecs_repr = vecs
+        sector.evals, sector.evecs = list(evals), list(vecs)
+        return evals
+
+    def locate_Es(self, e_lo: float, e_hi: float, which: str = "full",
+                  sec: int = 0, nev_max: int = 10, degree: int = 200,
+                  maxit: int = 40, seed: int = 7):
+        """Interior eigenpairs in [e_lo, e_hi] — the FEAST replacement
+        (cf. model::locate_Es_feast, src/model.cc:1424-1466), via
+        Chebyshev-filtered subspace iteration (all SpMVs, no factorization).
+        """
+        from quantum_basis_tpu.solvers.chebyshev import eigs_window
+
+        sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
+        complex_h = (sector.matvec.is_complex if which == "full" else True)
+        evals, vecs = eigs_window(
+            sector.matvec, sector.dim, e_lo, e_hi, nev_max=nev_max,
+            degree=degree, n_iter=maxit, seed=seed, complex_vec=complex_h,
+        )
+        if which == "full":
+            self.eigenvals_full = evals
+            self.eigenvecs_full = vecs
+        else:
+            self.eigenvals_repr = evals
+            self.eigenvecs_repr = vecs
+        sector.evals, sector.evecs = list(evals), list(vecs)
+        return evals
 
     # ---------------------------------------------------------- measurement
 
@@ -200,7 +295,7 @@ class Model:
         right-to-left.
         """
         sector = self.sec_full[sec]
-        phi = self.eigenvecs_full[which]
+        phi = sector.evecs[which] if sector.evecs else self.eigenvecs_full[which]
         if not isinstance(oprs, (list, tuple)):
             oprs = [oprs]
         y = phi
@@ -219,7 +314,7 @@ class Model:
         """
         src = self.sec_full[sec_old]
         dst = self.sec_full[sec_new]
-        phi = self.eigenvecs_full[which]
+        phi = src.evecs[which] if src.evecs else self.eigenvecs_full[which]
         v = mopr_x_vec(self.compile_op(A), src.dbasis, dst.dbasis, phi)
         nrm = float(cx.norm(v))
         v = cx.scale(v, 1.0 / nrm)
@@ -298,19 +393,98 @@ class Model:
                 for i in range(min(nev, n))]
         return evals[:nev].tolist(), vecs
 
+    def symmetrize_op(self, op):
+        """Translation-symmetrize: O_t = (1/G) sum_R T(R) O T(-R).
+
+        cf. measure_repr_static's internal symmetrization
+        (src/model.cc:1859-1893) — done here in the host symbolic algebra
+        via Mopr.transform over all translation plans.
+        """
+        op = self._coerce_mopr(op)
+        disps, plans = self.lattice.translation_group()
+        out = Mopr()
+        for plan in plans:
+            out += op.transform(plan)
+        return (1.0 / len(plans)) * out
+
+    @staticmethod
+    def _coerce_mopr(op):
+        if isinstance(op, Opr):
+            return Mopr([OprProd(1.0, [op])])
+        if isinstance(op, OprProd):
+            return Mopr([op])
+        return op
+
+    def measure_repr_static(self, op, sec: int, which: int = 0) -> complex:
+        """<phi_k| O |phi_k> in a momentum sector.
+
+        cf. model::measure_repr_static (src/model.cc:1859-1893): the
+        operator is translation-symmetrized (P_k O P_k = P_k O_t P_k, and
+        O_t commutes with translations so the repr matvec machinery
+        applies), then split into Hermitian and anti-Hermitian parts so the
+        Hermitian row-gather kernel can evaluate both.
+        """
+        from quantum_basis_tpu.ops.apply_repr import MatvecRepr
+
+        sector = self.sec_repr[sec]
+        phi = sector.evecs[which] if sector.evecs else self.eigenvecs_repr[which]
+        Ot = self.symmetrize_op(op)
+        Oh = 0.5 * (Ot + Ot.dagger())
+        Oa = (-0.5j) * (Ot - Ot.dagger())
+        out = 0.0 + 0.0j
+        for part, factor in ((Oh, 1.0), (Oa, 1.0j)):
+            if part.q_zero():
+                continue
+            mv = MatvecRepr(compile_operator(part, self.space), sector.dbasis)
+            y = mv(phi)
+            re, im = cx.vdot(phi, y)
+            val = float(re)  # Hermitian part: expectation is real
+            out = out + factor * val
+        return complex(out)
+
+    def measure_repr_dynamic(self, A, sec_old: int, sec_new: int, m_steps: int,
+                             which: int = 0):
+        """Continued-fraction data across momentum sectors.
+
+        |v> = A |phi_{k}> lands in sector ``sec_new`` (momentum k - q for
+        A = sum_x e^{-iq.x} O_x); returns (norm, alphas, betas)
+        (cf. model::measure_repr_dynamic, src/model.cc:1896-1912).
+        """
+        from quantum_basis_tpu.ops.apply_repr import mopr_x_vec_repr
+
+        src = self.sec_repr[sec_old]
+        dst = self.sec_repr[sec_new]
+        phi = src.evecs[which] if src.evecs else self.eigenvecs_repr[which]
+        v = mopr_x_vec_repr(self.compile_op(self._coerce_mopr(A)),
+                            src.dbasis, dst.dbasis, phi)
+        nrm = float(cx.norm(v))
+        v = cx.scale(v, 1.0 / nrm)
+        alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
+        return nrm, alphas, betas
+
     def _locate_E0_lanczos_repr(self, nev, ncv, maxit, sec, seed):
         sector = self.sec_repr[sec]
         if sector.dim <= _DENSE_CUTOFF:
             evals, vecs = self._dense_solve_repr(sector, max(nev, ncv, 1))
             self.eigenvals_repr = evals
             self.eigenvecs_repr = vecs[:max(ncv, 1)]
+            sector.evals, sector.evecs = evals, vecs
             return
 
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 
-        evals, vecs = eigs_smallest(
-            sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
-            maxit=maxit, seed=seed, complex_vec=True,
-        )
+        kstr = "_".join(str(x) for x in getattr(sector, "momentum", ()))
+        key = f"lczsE0_repr_sec{sec}_K{kstr}_nev{nev}"
+        done = self._ckpt_stage_load(key, True)
+        if done is not None:
+            evals, vecs = done
+        else:
+            evals, vecs = eigs_smallest(
+                sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
+                maxit=maxit, seed=seed, complex_vec=True,
+                ckpt_key=key + "_krylov",
+            )
+            self._ckpt_stage_save(key, evals, vecs)
         self.eigenvals_repr = evals[:nev]
         self.eigenvecs_repr = vecs[:max(ncv, 1)]
+        sector.evals, sector.evecs = list(evals), list(vecs)

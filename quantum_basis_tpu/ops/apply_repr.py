@@ -204,6 +204,108 @@ class MatvecRepr:
         return (yr, yi)
 
 
+def mopr_x_vec_repr(compiled, src: ReprBasis, dst: ReprBasis, x):
+    """y = A x across momentum sectors (forward scatter direction).
+
+    The TPU-native moprXvec_repr (reference: src/model.cc:1715-1856). ``A``
+    must carry a definite momentum transfer q with dst.momentum = k_src - q
+    for A = sum_x e^{-i q.x} O_x (the double projection P_k' A P_k then
+    collapses to P_k' A):
+
+        y_j = sum_i x_i sqrt(nu'_j / nu_i) sum_{m in A|r_i>}
+                  B_m sigma*_m e^{+i k'.R*_m}
+
+    Images whose representative is not in the destination basis are dropped
+    (zero norm or out of sector), matching the reference's lookup-miss
+    behavior.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    space = compiled.space
+    tset = src.tset
+    groups = [_group_device(g) for g in compiled.groups]
+    cos, sin = tset.phases(dst.momentum)
+    cos_d, sin_d = jnp.asarray(cos), jnp.asarray(-np.asarray(sin))  # e^{+ik'R}
+    Ftab = jnp.asarray(space.fermion_count_table)
+    slot_iota = jnp.arange(space.n_slots)
+    dst_index = dst.index
+    dst_sqrt_nu = dst.sqrt_nu  # length n_dst + 1 (pad slot)
+
+    if not compiled.diag_terms.q_zero():
+        ev = compile_diagonal(compiled.diag_terms, space)
+        diag_b = jax.jit(ev)(src.V_b.astype(jnp.int32))
+    else:
+        diag_b = None
+
+    x_re, x_im = x
+    if x_im is None:
+        x_im = jnp.zeros_like(x_re)
+
+    def block_contrib(carry, xs):
+        y_re, y_im = carry
+        if diag_b is None:
+            labels, V, F, isn, mask, xbr, xbi = xs
+            diag = None
+        else:
+            labels, V, F, diag, isn, mask, xbr, xbi = xs
+
+        def scatter_images(y_re, y_im, amp_re, amp_im, sgn, tgt, wsrc_re, wsrc_im):
+            """images tgt (B,T,K) with amplitude amp*sgn; source weight wsrc."""
+            Vm = space.decode(tgt)
+            Fm = Ftab[slot_iota[None, None, None, :], Vm.astype(jnp.int64)]
+            tl, tsign = tset.transform_all(Vm, Fm)
+            gstar = jnp.argmin(tl, axis=-1)
+            rmin = jnp.min(tl, axis=-1)
+            sig = jnp.take_along_axis(tsign, gstar[..., None], axis=-1)[..., 0]
+            ph_re = cos_d[gstar]
+            ph_im = sin_d[gstar]
+            j = dst_index.lookup_t(dst_index.tables, rmin)
+            valid = dst_index.labels[j] == rmin
+            jc = jnp.where(valid, j, dst.n)
+            w = sgn * sig * dst_sqrt_nu[jc] * jnp.where(valid, 1.0, 0.0)
+            a_re = amp_re
+            a_im = amp_im if amp_im is not None else None
+            c_re = a_re * ph_re - (a_im * ph_im if a_im is not None else 0.0)
+            c_im = a_re * ph_im + (a_im * ph_re if a_im is not None else 0.0)
+            contrib_re = w * (c_re * wsrc_re - c_im * wsrc_im)
+            contrib_im = w * (c_re * wsrc_im + c_im * wsrc_re)
+            jflat = jnp.where(valid, j, dst.n).reshape(-1)
+            y_re = y_re.at[jflat].add(contrib_re.reshape(-1))
+            y_im = y_im.at[jflat].add(contrib_im.reshape(-1))
+            return y_re, y_im
+
+        wsrc_re = (xbr * isn * mask)
+        wsrc_im = (xbi * isn * mask)
+        if diag is not None:
+            # diagonal terms: image = source state itself
+            y_re, y_im = scatter_images(
+                y_re, y_im, diag[:, None, None], None,
+                jnp.ones_like(diag)[:, None, None], labels[:, None, None],
+                wsrc_re[:, None, None], wsrc_im[:, None, None])
+        for g in groups:
+            sgn, amp_re, amp_im, tgt = _block_images(g, labels, V, F)
+            y_re, y_im = scatter_images(
+                y_re, y_im, amp_re, amp_im, sgn[..., None], tgt,
+                wsrc_re[:, None, None], wsrc_im[:, None, None])
+        return (y_re, y_im), None
+
+    def run(x_re, x_im):
+        xbr = src.pad_vec(x_re)
+        xbi = src.pad_vec(x_im)
+        # one extra slot absorbs invalid-image scatters
+        y0 = (jnp.zeros(dst.n + 1), jnp.zeros(dst.n + 1))
+        xs = [src.labels_b, src.V_b, src.F_b]
+        if diag_b is not None:
+            xs.append(diag_b)
+        xs.extend([src.inv_sqrt_nu_b, src.mask_b, xbr, xbi])
+        (y_re, y_im), _ = jax.lax.scan(block_contrib, y0, tuple(xs))
+        return y_re[: dst.n], y_im[: dst.n]
+
+    y_re, y_im = jax.jit(run)(x_re, x_im)
+    return (y_re, y_im)
+
+
 def index_labels_eq(itabs, index, j, tgt):
     """valid mask: does basis label at j equal tgt? (works for both modes)."""
     if index.mode == "direct":

@@ -197,10 +197,22 @@ def compile_operator(mopr: Mopr, space: StateSpace) -> CompiledOperator:
     Mirrors the diagonal/off-diagonal split of ``model::add_Ham``
     (reference: src/model.cc:113-143), then compiles and merges terms.
     """
+    def _real_diag(t):
+        """Diagonal, non-fermionic, and fully real — eligible for the real
+        diagonal fast path. Complex-coefficient diagonals (e.g. the Sz_q
+        terms of a structure-factor operator) go through the general term
+        tables instead, which carry split-complex amplitudes."""
+        if not t.q_diagonal() or any(f.fermion for f in t.factors):
+            return False
+        if abs(np.imag(t.coeff)) > opr_precision:
+            return False
+        return all(np.max(np.abs(np.imag(f.mat))) <= opr_precision
+                   for f in t.factors)
+
     diag = Mopr()
     offdiag_terms = []
     for t in mopr.terms:
-        if t.q_diagonal() and not any(f.fermion for f in t.factors):
+        if _real_diag(t):
             diag += t
         else:
             offdiag_terms.append(t)
@@ -224,10 +236,10 @@ def compile_operator(mopr: Mopr, space: StateSpace) -> CompiledOperator:
         D = M.shape[0]
         if not np.any(w):
             dvals = np.diagonal(M).copy()
-            if np.max(np.abs(dvals)) > sparse_precision:
-                if np.max(np.abs(dvals.imag)) > 1e-9:
-                    raise ValueError("non-real diagonal in Hermitian operator")
-                # fold into diag Mopr as an explicit joint diagonal term
+            if (np.max(np.abs(dvals)) > sparse_precision
+                    and np.max(np.abs(dvals.imag)) <= 1e-12):
+                # real joint diagonal: fold into the diag fast path;
+                # complex diagonals stay in the term tables (dlt = 0)
                 diag += _joint_diag_term(slots, dims, dvals.real, space)
                 np.fill_diagonal(M, 0.0)
         mask = np.abs(M) > sparse_precision

@@ -124,6 +124,7 @@ def lanczos_ground(
     deflate=(),
     want_vector: bool = True,
     log=None,
+    ckpt_key=None,
 ):
     """Lowest eigenpair of Hermitian ``matvec`` from start vector ``v0``.
 
@@ -149,6 +150,20 @@ def lanczos_ground(
     best = None  # (theta, vector, explicit residual) across cycles
     used = 0
     alphas_last = betas_last = None
+
+    from quantum_basis_tpu.utils.ckpt import active_store
+
+    store = active_store() if ckpt_key else None
+    if store is not None:
+        rec = store.load(ckpt_key)
+        if rec is not None and rec["v_re"].shape == np.asarray(v0[0]).shape:
+            v = (jnp.asarray(rec["v_re"]),
+                 jnp.asarray(rec["v_im"]) if v0[1] is not None else None)
+            best = (float(rec["theta"]),
+                    (jnp.asarray(rec["b_re"]),
+                     jnp.asarray(rec["b_im"]) if v0[1] is not None else None),
+                    float(rec["rnorm"]))
+            used = int(rec["used"])
     while used < maxit:
         a_arr, b_arr = first_pass(v, tuple(deflate), mv_params)
         a_np, b_np = np.asarray(a_arr), np.asarray(b_arr)
@@ -180,12 +195,22 @@ def lanczos_ground(
             log(used, theta, rnorm)
         if best is None or rnorm < best[2]:
             best = (theta, v, rnorm)
+        if store is not None:
+            store.save(ckpt_key, {
+                "v_re": np.asarray(v[0]),
+                "v_im": np.asarray(v[1]) if v[1] is not None else np.zeros(1),
+                "b_re": np.asarray(best[1][0]),
+                "b_im": np.asarray(best[1][1]) if best[1][1] is not None else np.zeros(1),
+                "theta": best[0], "rnorm": best[2], "used": used,
+            })
         if r_tol_abs is None:
             r_tol_abs = max(1e3 * tol * max(abs(theta), 1.0), 5e-10)
         if rnorm < r_tol_abs:
             break
 
     theta, v, rnorm = best
+    if store is not None and r_tol_abs is not None and rnorm < r_tol_abs:
+        store.delete(ckpt_key)
     out = {
         "E0": theta,
         "niter": used,

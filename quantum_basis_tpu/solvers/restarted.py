@@ -156,7 +156,7 @@ class DeflatedMatvec:
 
 
 def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
-                  complex_vec=False, which="SA", deg_tol=1e-9):
+                  complex_vec=False, which="SA", deg_tol=1e-9, ckpt_key=None):
     """nev smallest ('SA') or largest ('LA') eigenpairs of Hermitian matvec.
 
     Returns (eigenvalues list, eigenvectors list of split-complex cvecs).
@@ -169,7 +169,7 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     the found window it is a missed copy: insert and verify again.
     """
     vals, vecs = _eigs_core(matvec, n, nev, ncv, maxit, tol, seed,
-                            complex_vec, which)
+                            complex_vec, which, ckpt_key=ckpt_key)
     sgn = 1.0 if which == "SA" else -1.0
     guard = 0
     while len(vals) >= nev and guard < 8:
@@ -199,9 +199,18 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
 
 
 def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
-               complex_vec=False, which="SA"):
-    """Thick-restart Lanczos core (single starting vector)."""
+               complex_vec=False, which="SA", ckpt_key=None):
+    """Thick-restart Lanczos core (single starting vector).
+
+    With ``ckpt_key`` set and checkpointing enabled (config.enable_ckpt),
+    the full restart-boundary state (V basis, projected matrix, counters)
+    is persisted after every thick restart and restored on re-entry —
+    the reference's Lanczos-step-level checkpointing (src/ckpt.cc:13-340)
+    at restart granularity.
+    """
     import jax.numpy as jnp
+
+    from quantum_basis_tpu.utils.ckpt import active_store
 
     ncv = int(min(max(ncv, nev + 2), n))
     rows = ncv + 1
@@ -215,6 +224,16 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     m = 0           # index of current vector (column being generated)
     k_locked = 0    # thick-restart block size currently in Hm
     it = 0
+
+    store = active_store() if ckpt_key else None
+    if store is not None:
+        rec = store.load(ckpt_key)
+        if rec is not None and rec["Vre"].shape == (rows, n):
+            Vre = jnp.asarray(rec["Vre"])
+            Vim = jnp.asarray(rec["Vim"]) if complex_vec else None
+            Hm = rec["Hm"].astype(np.complex128)
+            m = int(rec["m"])
+            it = int(rec["it"])
     rng_seed = seed + 101
     sort_sign = 1.0 if which == "SA" else -1.0
 
@@ -288,6 +307,8 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
                 vr = Yre[i]
                 vi = Yim[i] if complex_vec else None
                 vecs.append((vr, vi))
+            if store is not None:
+                store.delete(ckpt_key)
             return theta[:keep].tolist(), vecs
 
         # thick restart: keep best `keep` Ritz vectors + current residual dir
@@ -304,6 +325,12 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         Hm[:keep, keep] = u
         m = keep
         k_locked = keep
+        if store is not None:
+            store.save(ckpt_key, {
+                "Vre": np.asarray(Vre),
+                "Vim": np.asarray(Vim) if complex_vec else np.zeros((1, 1)),
+                "Hm": Hm, "m": m, "it": it,
+            })
     raise RuntimeError(f"thick-restart Lanczos failed to converge in {maxit} steps")
 
 
