@@ -55,16 +55,22 @@ class Model:
         self._orbitals: list[tuple[SiteBasis, int]] = []
         self._space: StateSpace | None = None
         self.Ham = Mopr()
+        self.Ham_vrnl = Mopr()  # Trugman-basis generator (qbasis.h:1269)
         self._compiled = None
         self.sec_full: dict[int, Sector] = {}
         self.sec_repr: dict[int, object] = {}
+        self.sec_vrnl: dict[int, object] = {}
         self.eigenvals_full: list[float] = []
         self.eigenvecs_full: list = []  # cvec tuples over sector basis
         self.eigenvals_repr: list[float] = []
         self.eigenvecs_repr: list = []
+        self.eigenvals_vrnl: list[float] = []
+        self.eigenvecs_vrnl: list = []
         self._e0_sec = 0  # sector of the stored ground state
         self._tset = None
         self._repr_cache = None  # (key, sector labels, orbit reps)
+        self._ct = None
+        self._vrnl_skel = None  # (key, VrnlMatrix) cache across momenta
 
     # ------------------------------------------------------------- building
 
@@ -150,6 +156,8 @@ class Model:
         vectors to solver tolerance without a separate refinement stage.
         ``nev`` in {1, 2} = energies wanted, ``ncv`` <= nev = vectors kept.
         """
+        if which == "vrnl":
+            return self._locate_E0_vrnl(nev, ncv, maxit, sec, seed)
         if which != "full":
             return self._locate_E0_lanczos_repr(nev, ncv, maxit, sec, seed)
         sector = self.sec_full[sec]
@@ -221,6 +229,8 @@ class Model:
         """Several lowest eigenpairs via thick-restart Lanczos (ARPACK repl.)."""
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 
+        if which == "vrnl":
+            return self._locate_E0_vrnl(nev, max(ncv, nev), maxit, sec, seed)
         sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
         if sector.dim <= _DENSE_CUTOFF and which == "full":
             complex_h = sector.matvec.is_complex
@@ -317,6 +327,8 @@ class Model:
         phi = src.evecs[which] if src.evecs else self.eigenvecs_full[which]
         v = mopr_x_vec(self.compile_op(A), src.dbasis, dst.dbasis, phi)
         nrm = float(cx.norm(v))
+        if nrm < 1e-12:  # A|phi> vanishes (reference: src/model.cc:1704-1706)
+            return 0.0, np.zeros(0), np.zeros(0)
         v = cx.scale(v, 1.0 / nrm)
         alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
         return nrm, alphas, betas
@@ -461,6 +473,209 @@ class Model:
         v = cx.scale(v, 1.0 / nrm)
         alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
         return nrm, alphas, betas
+
+    # ----------------------------------------------- variational (vrnl) sector
+
+    @property
+    def center_translator(self):
+        """Batched translate-to-center canonicalizer (built lazily)."""
+        if self._ct is None:
+            from quantum_basis_tpu.basis.vrnl import CenterTranslator
+
+            self._ct = CenterTranslator(self.space, self.lattice)
+        return self._ct
+
+    def add_Ham_vrnl(self, op):
+        """Accumulate a term into the vrnl basis *generator* (cf.
+        model::add_Ham_vrnl, src/qbasis.h:1367-1371 — used only to grow
+        Trugman's variational basis, not as the matrix)."""
+        self.Ham_vrnl += self._coerce_mopr(op)
+
+    def build_basis_vrnl(self, initial_labels, gs_label: int, momentum_gs,
+                         momentum, depth: int, conserve_lst=None,
+                         val_lst=None, sec: int = 0):
+        """Grow Trugman's variational basis from seed states.
+
+        cf. model::build_basis_vrnl (src/model.cc:489-616). ``initial_labels``
+        are integer state labels (the TPU encoding of the reference's
+        ``mbasis_elem`` list); ``momentum_gs`` / ``momentum`` are fractional
+        wave vectors per unit cell (phase convention exp(2*pi*i k.disp), see
+        quantum_basis_tpu.basis.vrnl docstring).
+        """
+        from quantum_basis_tpu.basis.vrnl import VrnlSector, grow_basis_vrnl
+
+        ct = self.center_translator
+        gen = compile_operator(self.Ham_vrnl if not self.Ham_vrnl.q_zero()
+                               else self.Ham, self.space)
+        gs_canon, _, _ = ct.canonicalize(np.asarray([gs_label], dtype=np.int64))
+        gs_canon = int(gs_canon[0])
+        labels = grow_basis_vrnl(gen, ct, initial_labels, depth,
+                                 conserve_lst, val_lst)
+        labels = labels[labels != gs_canon]  # basis.remove(gs), model.cc:570
+
+        s = VrnlSector()
+        s.labels = labels
+        s.dim = int(labels.size)
+        s.momentum = np.asarray(momentum, dtype=np.float64)
+        s.gs_label = gs_canon
+        s.gs_momentum = np.asarray(momentum_gs, dtype=np.float64)
+        s.gs_omega = ct.omega_g(gs_canon)
+        # gs only participates at its own momentum (src/model.cc:601-612)
+        dk = np.mod(s.momentum - s.gs_momentum + 1e-10, 1.0)
+        dk = np.minimum(dk, 1.0 - dk)
+        s.gs_norm = float(s.gs_omega) if np.linalg.norm(dk) < 1e-8 else 0.0
+        self.sec_vrnl[sec] = s
+        return s.dim
+
+    def generate_Ham_sparse_vrnl(self, sec: int = 0):
+        """Build the vrnl-sector matrix skeleton + device matvec at the
+        sector momentum; also computes the variational GS energy
+        (cf. generate_Ham_sparse_vrnl, src/model.cc:838-924)."""
+        from quantum_basis_tpu.basis.vrnl import VrnlMatrix
+        from quantum_basis_tpu.ops.apply_vrnl import MatvecVrnl, _images_canon
+
+        import jax.numpy as jnp
+
+        ct = self.center_translator
+        s = self.sec_vrnl[sec]
+        key = (s.labels.tobytes(), id(self.compiled_Ham))
+        if self._vrnl_skel is None or self._vrnl_skel[0] != key:
+            self._vrnl_skel = (key, VrnlMatrix(self.compiled_Ham, ct, s.labels))
+        s.vmat = self._vrnl_skel[1]
+        s.matvec = MatvecVrnl(s.vmat, s.momentum)
+
+        # variational ground-state energy (src/model.cc:865-888)
+        if s.gs_E0 is None:
+            gs = np.asarray([s.gs_label], dtype=np.int64)
+            e0 = 0.0
+            if not self.compiled_Ham.diag_terms.q_zero():
+                from quantum_basis_tpu.ops.compile import compile_diagonal
+
+                ev = compile_diagonal(self.compiled_Ham.diag_terms, self.space)
+                e0 += float(np.asarray(ev(self.space.decode(gs)))[0])
+            cells = self.lattice.Nsites / self.lattice.num_sub
+            for amp, canon, disp in _images_canon(self.compiled_Ham, ct,
+                                                  jnp.asarray(gs)):
+                hit = canon[0] == s.gs_label
+                if not np.any(hit):
+                    continue
+                ang = 2.0 * np.pi * (disp[0] @ s.gs_momentum)
+                coeff = (float(s.gs_omega) / cells) * amp[0] * np.exp(1j * ang)
+                e0 += float(np.sum(np.where(hit, coeff, 0.0)).real)
+            s.gs_E0 = e0
+        return s.matvec
+
+    def dim_vrnl(self, sec: int = 0) -> int:
+        return self.sec_vrnl[sec].dim
+
+    def _locate_E0_vrnl(self, nev, ncv, maxit, sec, seed):
+        s = self.sec_vrnl[sec]
+        if s.matvec is None:
+            self.generate_Ham_sparse_vrnl(sec)
+        if s.dim <= _DENSE_CUTOFF:
+            import jax.numpy as jnp
+
+            H = s.vmat.at_momentum(s.momentum)
+            evals, evecs = np.linalg.eigh(H)
+            vecs = [(jnp.asarray(evecs[:, i].real.copy()),
+                     jnp.asarray(evecs[:, i].imag.copy()))
+                    for i in range(min(max(nev, ncv, 1), s.dim))]
+            evals = evals[: max(nev, 1)].tolist()
+        else:
+            from quantum_basis_tpu.solvers.restarted import eigs_smallest
+
+            evals, vecs = eigs_smallest(
+                s.matvec, s.dim, nev=nev, ncv=max(12, 2 * nev + 6),
+                maxit=maxit, seed=seed, complex_vec=True)
+        self.eigenvals_vrnl = list(evals)
+        self.eigenvecs_vrnl = vecs
+        s.evals, s.evecs = list(evals), list(vecs)
+
+    def moprXgs_vrnl(self, Bq, sec: int = 0) -> np.ndarray:
+        """B_q |gs> expressed over the vrnl basis (cf. src/model.cc:1915-1984)."""
+        from quantum_basis_tpu.ops.apply_vrnl import mopr_x_gs_vrnl
+
+        return mopr_x_gs_vrnl(self._coerce_mopr(Bq), self.sec_vrnl[sec],
+                              self.center_translator)
+
+    def moprXvec_vrnl(self, Bq, sec_old: int, sec_new: int, x):
+        """(y, pG): B_q applied to a vrnl-sector vector (src/model.cc:1987-2074)."""
+        from quantum_basis_tpu.ops.apply_vrnl import mopr_x_vec_vrnl
+
+        return mopr_x_vec_vrnl(self._coerce_mopr(Bq), self.sec_vrnl[sec_old],
+                               self.sec_vrnl[sec_new], self.center_translator, x)
+
+    def measure_vrnl_static(self, lhs, sec: int = 0, which: int = 0) -> complex:
+        """<phi|lhs|phi> over a vrnl eigenvector (src/model.cc:2077-2129)."""
+        from quantum_basis_tpu.ops.apply_vrnl import measure_vrnl_static
+
+        s = self.sec_vrnl[sec]
+        vr, vi = s.evecs[which]
+        phi = np.asarray(vr) + 1j * (np.asarray(vi) if vi is not None else 0.0)
+        return measure_vrnl_static(self._coerce_mopr(lhs), s,
+                                   self.center_translator, phi)
+
+    def measure_vrnl_dynamic(self, Bq, sec: int, m_steps: int):
+        """Continued-fraction data for the vrnl sector: |v> = B_q|gs>,
+        returns (norm, alphas, betas) (cf. src/model.cc:2131-2143)."""
+        import jax.numpy as jnp
+
+        s = self.sec_vrnl[sec]
+        if s.matvec is None:
+            self.generate_Ham_sparse_vrnl(sec)
+        v = self.moprXgs_vrnl(Bq, sec)
+        nrm = float(np.linalg.norm(v))
+        if nrm < 1e-12:
+            return 0.0, np.zeros(0), np.zeros(0)
+        v = v / nrm
+        cvec = (jnp.asarray(v.real.copy()), jnp.asarray(v.imag.copy()))
+        alphas, betas = lanczos_dynamics(s.matvec, cvec, m_steps)
+        return nrm, alphas, betas
+
+    def wannier_mat_vrnl(self, Ar_list, momenta_list, locate_state,
+                         sec: int = 0, nev: int = 8):
+        """mu[k1, k2] = <phi(k1)| B_{k1-k2} |phi(k2)> over a k-grid.
+
+        cf. model::WannierMat_vrnl (src/model.cc:2145-2310): per momentum the
+        vrnl matrix is re-phased (O(nnz), no basis rebuild), diagonalized, a
+        band state selected by ``locate_state(model, idx)``; then the overlap
+        matrix with B_q built from ``Ar_list`` = [(r_i, A_{r_i}), ...] with
+        Hermitian completion.  Eigen-solves are cached in-memory per momentum.
+        """
+        s = self.sec_vrnl[sec]
+        if s.vmat is None:
+            self.generate_Ham_sparse_vrnl(sec)
+        momenta = [np.asarray(k, dtype=np.float64) for k in momenta_list]
+        nk = len(momenta)
+
+        band: list[np.ndarray] = []
+        import jax.numpy as jnp
+
+        base_momentum = s.momentum
+        for idx, k in enumerate(momenta):
+            H = s.vmat.at_momentum(k)
+            evals, evecs = np.linalg.eigh(H)
+            s.momentum = k
+            s.evals = evals[:nev].tolist()
+            s.evecs = [(jnp.asarray(evecs[:, i].real.copy()),
+                        jnp.asarray(evecs[:, i].imag.copy()))
+                       for i in range(min(nev, s.dim))]
+            which = int(locate_state(self, idx))
+            band.append(evecs[:, which].copy())
+        mu = np.zeros((nk, nk), dtype=np.complex128)
+        for i1 in range(nk):
+            for i2 in range(i1, nk):
+                q = momenta[i1] - momenta[i2]
+                Bq = Mopr()
+                for r, A in Ar_list:
+                    phase = np.exp(2j * np.pi * float(np.dot(q, np.asarray(r))))
+                    Bq += complex(phase) * self._coerce_mopr(A)
+                s.momentum = momenta[i2]
+                y, _ = self.moprXvec_vrnl(Bq, sec, sec, band[i2])
+                mu[i1, i2] = np.vdot(band[i1], y)
+                mu[i2, i1] = np.conj(mu[i1, i2])
+        s.momentum = base_momentum
+        return mu
 
     def _locate_E0_lanczos_repr(self, nev, ncv, maxit, sec, seed):
         sector = self.sec_repr[sec]
