@@ -1,4 +1,4 @@
-"""Benchmark: matrix-free SpMV (y = H x) throughput on the flagship workload.
+"""Benchmark: explicit-sparse (ELL) SpMV throughput on the flagship workload.
 
 Runs on whatever backend JAX selects (the driver runs this on a real TPU
 chip). Workload: spin-1/2 Heisenberg chain L=24, Sz=0 sector
@@ -30,15 +30,18 @@ def main():
     from quantum_basis_tpu.ops.apply import MatvecFull
     from quantum_basis_tpu.utils.rng import vec_randomize
 
+    from quantum_basis_tpu.ops.sparse import build_sparse_full
+
     t0 = time.time()
     compiled, dbasis, labels = _chain_setup(L)
     mv = MatvecFull(compiled, dbasis)
+    ell = build_sparse_full(mv)  # one device pass + host compaction
     n = labels.size
     re, _ = vec_randomize(n, seed=1)
     x = jnp.asarray(re)
-    params = mv.params
+    params = ell.params
 
-    fn = jax.jit(lambda p, v: mv.apply(p, (v, None))[0])
+    fn = jax.jit(lambda p, v: ell.apply(p, (v, None))[0])
     y = fn(params, x)
     jax.block_until_ready(y)  # compile + warm-up
     t_setup = time.time() - t0
@@ -52,8 +55,8 @@ def main():
     jax.block_until_ready(v)
     dt = (time.time() - t1) / iters
 
-    # nnz actually touched per apply: diagonal + per-group T*K images per row
-    nnz = mv.nnz_estimate
+    # nnz actually stored: diagonal + ELL width per row
+    nnz = ell.nnz
     nnz_per_s = nnz / dt
     out = {
         "metric": "spmv_nnz_per_s",

@@ -29,7 +29,8 @@ class BasisIndex:
     leave the sector).
     """
 
-    def __init__(self, labels: np.ndarray, label_space: int, mode: str | None = None):
+    def __init__(self, labels: np.ndarray, label_space: int, mode: str | None = None,
+                 lin_split: int | None = None):
         import jax.numpy as jnp
 
         labels = np.asarray(labels, dtype=np.int64)
@@ -38,14 +39,30 @@ class BasisIndex:
         self.n = int(labels.size)
         self.label_space = int(label_space)
         if mode is None:
-            mode = "direct" if self.label_space <= config.direct_lookup_max else "bsearch"
+            if self.label_space <= config.direct_lookup_max:
+                mode = "direct"
+            elif lin_split is not None and self.n:
+                mode = "lin"  # try Lin; fall back to bsearch below
+            else:
+                mode = "bsearch"
         self.mode = mode
         self.labels = jnp.asarray(labels)
+        if mode == "lin":
+            from quantum_basis_tpu.basis.lin_table import LinTable, LinTableError
+
+            try:
+                lt = LinTable(labels, self.label_space, int(lin_split))
+                self._Ja = jnp.asarray(lt.Ja.astype(np.int32))
+                self._Jb = jnp.asarray(lt.Jb.astype(np.int32))
+                self._sa = int(lin_split)
+            except LinTableError:
+                # graceful fallback, reference: src/model.cc:266-270
+                self.mode = mode = "bsearch"
         if mode == "direct":
             pos = np.zeros(self.label_space, dtype=np.int32)
             pos[labels] = np.arange(self.n, dtype=np.int32)
             self._pos = jnp.asarray(pos)
-        elif mode != "bsearch":
+        elif mode not in ("bsearch", "lin"):
             raise ValueError(f"unknown index mode {mode!r}")
 
     @property
@@ -54,6 +71,8 @@ class BasisIndex:
         and shard_map as explicit (replicated) arguments."""
         if self.mode == "direct":
             return (self._pos,)
+        if self.mode == "lin":
+            return (self._Ja, self._Jb)
         return (self.labels,)
 
     def lookup_t(self, tables, tgt):
@@ -64,6 +83,11 @@ class BasisIndex:
             (pos,) = tables
             t = jnp.clip(tgt, 0, self.label_space - 1)
             return pos[t]
+        if self.mode == "lin":
+            Ja, Jb = tables
+            t = jnp.clip(tgt, 0, self.label_space - 1)
+            j = Ja[t % self._sa] + Jb[t // self._sa]
+            return jnp.clip(j, 0, max(self.n - 1, 0)).astype(jnp.int32)
         (labels,) = tables
         idx = jnp.searchsorted(labels, tgt)
         return jnp.clip(idx, 0, max(self.n - 1, 0)).astype(jnp.int32)

@@ -120,7 +120,10 @@ class Model:
         s = Sector()
         s.labels = labels
         s.dim = int(labels.size)
-        index = BasisIndex(labels, self.space.label_space)
+        from quantum_basis_tpu.basis.lin_table import digit_split
+
+        index = BasisIndex(labels, self.space.label_space,
+                           lin_split=digit_split(self.space))
         s.dbasis = DeviceBasis(self.space, labels, index,
                                work_per_row=max(self.compiled_Ham.nnz_per_row, 1))
         s.matvec = MatvecFull(self.compiled_Ham, s.dbasis)
@@ -129,6 +132,45 @@ class Model:
 
     def dim_full(self, sec: int = 0) -> int:
         return self.sec_full[sec].dim
+
+    # --------------------------------------------------- explicit sparse path
+
+    def generate_Ham_sparse_full(self, sec: int = 0, check: bool = True):
+        """Extract the explicit ELL matrix for a full sector and switch the
+        sector's matvec to it (cf. generate_Ham_sparse_full,
+        src/model.cc:619-685 — like the reference, the explicit matrix is an
+        optional speedup over the matrix-free apply)."""
+        from quantum_basis_tpu.ops.sparse import (build_sparse_full,
+                                                  hermiticity_probe)
+
+        s = self.sec_full[sec]
+        from quantum_basis_tpu.ops.apply import MatvecFull
+
+        if not isinstance(s.matvec, MatvecFull):
+            s.matvec = MatvecFull(self.compiled_Ham, s.dbasis)
+        ell = build_sparse_full(s.matvec)
+        if check:
+            hermiticity_probe(ell, s.dim, ell.is_complex)
+        s.matvec_free = s.matvec  # keep the matrix-free path accessible
+        s.matvec = ell
+        return ell
+
+    def generate_Ham_sparse_repr(self, sec: int = 0, check: bool = True):
+        """Explicit ELL matrix in a momentum sector (cf.
+        generate_Ham_sparse_repr, src/model.cc:687-836)."""
+        from quantum_basis_tpu.ops.apply_repr import MatvecRepr
+        from quantum_basis_tpu.ops.sparse import (build_sparse_repr,
+                                                  hermiticity_probe)
+
+        s = self.sec_repr[sec]
+        if not isinstance(s.matvec, MatvecRepr):
+            s.matvec = MatvecRepr(self.compiled_Ham, s.dbasis)
+        ell = build_sparse_repr(s.matvec)
+        if check:
+            hermiticity_probe(ell, s.dim, True)
+        s.matvec_free = s.matvec
+        s.matvec = ell
+        return ell
 
     # -------------------------------------------------------------- solvers
 
@@ -332,6 +374,56 @@ class Model:
         v = cx.scale(v, 1.0 / nrm)
         alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
         return nrm, alphas, betas
+
+    def transform_vec_full(self, plan, sec: int, x):
+        """y = U(plan) x with U|i> = sgn |plan(i)> — permutation action on a
+        sector vector incl. fermion parity (cf. model::transform_vec_full,
+        src/model.cc:1550-1600). ``x`` numpy (complex ok); the transformed
+        state must stay in the sector."""
+        s = self.sec_full[sec]
+        x = np.asarray(x)
+        new_labels, parity = self.space.transform(s.labels, np.asarray(plan))
+        j = np.searchsorted(s.labels, new_labels)
+        j = np.clip(j, 0, max(s.dim - 1, 0))
+        if not np.all(s.labels[j] == new_labels):
+            raise ValueError("plan maps some states out of the sector")
+        sign = 1.0 - 2.0 * parity.astype(np.float64)
+        y = np.zeros(s.dim, dtype=np.promote_types(x.dtype, np.float64))
+        y[j] = sign * x
+        return y
+
+    def projectQ_full(self, momentum, sec: int, x, check: bool = True):
+        """P_k x with P_k = (1/G) sum_R e^{+2 pi i k.R} T(R) — the momentum
+        projector in the full basis (cf. model::projectQ_full,
+        src/model.cc:1602-1660, incl. its momentum-eigenvector self-check).
+        ``momentum`` is integer per pbc dimension; returns complex numpy.
+        """
+        s = self.sec_full[sec]
+        x = np.asarray(x, dtype=np.complex128)
+        disps, plans = self.lattice.translation_group()
+        m = np.asarray(momentum, dtype=np.float64)
+        L = np.asarray(self.lattice.L, dtype=np.float64)
+        kfrac = np.zeros(self.lattice.dim)
+        kfrac[: m.size] = m / L[: m.size]
+        y = np.zeros(s.dim, dtype=np.complex128)
+        for disp, plan in zip(disps, plans):
+            phase = np.exp(2j * np.pi * float(np.dot(kfrac, disp)))
+            y += phase * self.transform_vec_full(plan, sec, x)
+        y /= len(plans)
+        if check and np.linalg.norm(y) > 1e-12:
+            # verify momentum eigenvector under each unit translation
+            # (reference self-check, src/model.cc:1634-1650)
+            for d in range(self.lattice.dim):
+                if self.lattice.bc[d] != "pbc":
+                    continue
+                e = np.zeros(self.lattice.dim, dtype=np.int64)
+                e[d] = 1
+                ty = self.transform_vec_full(
+                    self.lattice.translation_plan(e), sec, y)
+                want = np.exp(-2j * np.pi * kfrac[d]) * y
+                err = np.linalg.norm(ty - want) / np.linalg.norm(y)
+                assert err < 1e-9, f"projectQ: not a k-eigenvector (d={d}, {err:.2e})"
+        return y
 
     # ------------------------------------------------------ momentum sectors
 

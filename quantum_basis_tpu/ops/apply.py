@@ -52,7 +52,12 @@ class DeviceBasis:
         labels = np.asarray(labels, dtype=np.int64)
         self.space = space
         self.n = int(labels.size)
-        self.index = index if index is not None else BasisIndex(labels, space.label_space)
+        if index is None:
+            from quantum_basis_tpu.basis.lin_table import digit_split
+
+            index = BasisIndex(labels, space.label_space,
+                               lin_split=digit_split(space))
+        self.index = index
         B = block_rows or _choose_block(self.n, work_per_row * space.n_slots)
         nb = max(1, (self.n + B - 1) // B)
         pad = nb * B - self.n
