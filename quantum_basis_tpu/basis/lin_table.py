@@ -59,6 +59,21 @@ class LinTable:
         ib = labels // sa
         j = np.arange(n, dtype=np.int64)
 
+        # native BFS first (C++; raises ValueError when inconsistent)
+        from quantum_basis_tpu import native
+
+        if native.have_native() and n:
+            try:
+                Ja, Jb = native.lin_solve(ia, ib, self.sa, self.sb)
+            except ValueError as e:
+                raise LinTableError(str(e)) from None
+            if not np.array_equal(Ja[ia] + Jb[ib], j):
+                raise LinTableError("inconsistent Lin constraints")
+            self.Ja = Ja
+            self.Jb = Jb
+            self.n = n
+            return
+
         Ja = np.zeros(self.sa, dtype=np.int64)
         Jb = np.zeros(self.sb, dtype=np.int64)
         ka = np.zeros(self.sa, dtype=bool)   # known masks

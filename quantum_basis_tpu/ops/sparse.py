@@ -27,15 +27,16 @@ import numpy as np
 _VAL_TOL = 1e-14  # drop |v| below this (reference sparse_precision)
 
 
-def _compact_rows(cols: np.ndarray, vre: np.ndarray, vim: np.ndarray | None):
-    """Merge duplicate columns per row, push invalid (val=0) right.
+def _compact_rows_np(cols: np.ndarray, vre: np.ndarray, vim: np.ndarray | None,
+                     tol: float = _VAL_TOL):
+    """Numpy fallback for duplicate-column merging (see native.compact_rows).
 
-    cols (n, W) int64 with -1 for invalid; returns (cols, vre, vim, width)
+    cols (n, W) int64 with -1 for invalid; returns (cols, vre, vim)
     trimmed to the max surviving row occupancy.
     """
     n, W = cols.shape
     mag = np.abs(vre) + (np.abs(vim) if vim is not None else 0.0)
-    cols = np.where(mag > _VAL_TOL, cols, np.int64(2**62))
+    cols = np.where(mag > tol, cols, np.int64(2**62))
     order = np.argsort(cols, axis=1, kind="stable")
     cols = np.take_along_axis(cols, order, axis=1)
     vre = np.take_along_axis(vre, order, axis=1)
@@ -52,7 +53,7 @@ def _compact_rows(cols: np.ndarray, vre: np.ndarray, vim: np.ndarray | None):
             vim[:, k] = np.where(dup, 0.0, vim[:, k])
         cols[:, k] = np.where(dup, np.int64(2**62), cols[:, k])
     mag = np.abs(vre) + (np.abs(vim) if vim is not None else 0.0)
-    valid = (mag > _VAL_TOL) & (cols < 2**62)
+    valid = (mag > tol) & (cols < 2**62)
     # stable re-sort pushing invalid entries right
     order = np.argsort(np.where(valid, 0, 1), axis=1, kind="stable")
     cols = np.take_along_axis(cols, order, axis=1)
@@ -126,7 +127,9 @@ def _extract_blocks(run_block, n_blocks, n, block_rows, diag_b):
         vr = np.asarray(vr)
         vi = None if vi is None else np.asarray(vi)
         any_im = any_im or vi is not None
-        c, vr, vi = _compact_rows(c, vr, vi)
+        from quantum_basis_tpu.native import compact_rows
+
+        c, vr, vi = compact_rows(c, vr, vi, _VAL_TOL)
         cols_list.append(c)
         vre_list.append(vr)
         vim_list.append(vi)
