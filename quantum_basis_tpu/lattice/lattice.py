@@ -208,6 +208,87 @@ class Lattice:
             raise ValueError("rotation plan is not a permutation")
         return plan
 
+    def trans_subgroups(self, trans_sym=None):
+        """All distinct subgroups of the translation group.
+
+        The reference enumerates commensurate "magnetic Bravais" bases and
+        dedups them by their covering pattern (lattice::trans_subgroups,
+        src/lattice.cc:714-950); for the torus group Z_{L1} x ... x Z_{Ld}
+        the same set is obtained directly by closing every generator tuple
+        and deduplicating — feasible exactly because |T| <= a few hundred.
+
+        Returns a list of (members, omega_g) sorted by decreasing subgroup
+        size: ``members`` is an (m, dim) int array of displacement vectors
+        (sorted rows), ``omega_g = |T| / m`` the reference's unit-cell size.
+        Dimensions without translation symmetry contribute only 0.
+        """
+        if trans_sym is None:
+            trans_sym = [self.bc[d] == "pbc" for d in range(self.dim)]
+        Ls = np.asarray([int(self.L[d]) if trans_sym[d] else 1
+                         for d in range(self.dim)], dtype=np.int64)
+        elements = [np.asarray(c, dtype=np.int64)
+                    for c in itertools.product(*[range(int(l)) for l in Ls])]
+        G = len(elements)
+
+        def closure(gens):
+            seen = {tuple(np.zeros(self.dim, dtype=np.int64))}
+            frontier = [np.zeros(self.dim, dtype=np.int64)]
+            while frontier:
+                cur = frontier.pop()
+                for g in gens:
+                    nxt = (cur + g) % Ls
+                    t = tuple(int(v) for v in nxt)
+                    if t not in seen:
+                        seen.add(t)
+                        frontier.append(nxt)
+            return frozenset(seen)
+
+        rank = int(np.sum(Ls > 1))
+        subgroups = {closure([])}
+        # abelian group of rank r: every subgroup has <= r generators
+        gen_tuples = itertools.product(elements, repeat=max(rank, 1))
+        for gens in gen_tuples:
+            subgroups.add(closure(list(gens)))
+        out = []
+        for sg in subgroups:
+            members = np.asarray(sorted(sg), dtype=np.int64)
+            out.append((members, G // len(sg)))
+        out.sort(key=lambda x: (x[1], x[0].tobytes()))
+        return out
+
+    def divide_lattice(self):
+        """Split sites into sublattices A/B by coordinate parity along
+        ``dim_spec`` (the divide-and-conquer split; reference:
+        lattice::divide_lattice, src/lattice.cc:1076-1116).
+
+        Returns (sites_A, sites_B) index arrays; A = even coordinate.
+        """
+        d = self.dim_spec if self.dim_spec < self.dim else 0
+        if self.L[d] % 2 != 0:
+            raise ValueError("divide_lattice needs an even extent along "
+                             f"dimension {d} (reference asserts the same)")
+        par = self._site2coor[:, d] % 2
+        return (np.nonzero(par == 0)[0].astype(np.int64),
+                np.nonzero(par == 1)[0].astype(np.int64))
+
+    def k2superBZ(self, k_frac, A: np.ndarray):
+        """Fold a fractional wave vector into the first superlattice BZ.
+
+        ``A`` is the integer superlattice basis (rows = super vectors in
+        lattice units); returns (k_folded_frac, integer_shift) such that
+        k = k_folded + shift @ B_super with k_folded in [0, 1)^dim of the
+        super reciprocal cell (reference: lattice::k2superBZ,
+        src/lattice.cc:503-532, which solves the same system with dgesv).
+        """
+        A = np.asarray(A, dtype=np.float64)
+        k = np.asarray(k_frac, dtype=np.float64)
+        # coefficients of k in the super reciprocal basis: c = A @ k
+        c = A @ k
+        shift = np.floor(c + 1e-12).astype(np.int64)
+        c_fold = c - shift
+        k_fold = np.linalg.solve(A, c_fold)
+        return k_fold, shift
+
     @staticmethod
     def plan_product(p2: np.ndarray, p1: np.ndarray) -> np.ndarray:
         """Composition 'apply p1 then p2' (cf. src/lattice.cc:1039-1074)."""

@@ -187,6 +187,25 @@ class Model:
                          jnp.asarray(v.imag.copy()) if complex_h else None))
         return evals[:nev].tolist(), vecs
 
+    def _fullspace_op(self, sector, max_blowup: float = 64.0):
+        """Full-label-space roll engine for this sector when supported and
+        the label-space blowup is worth it (see ops/apply_fullspace.py);
+        None otherwise. Cached on the sector."""
+        from quantum_basis_tpu.ops.apply import MatvecFull
+        from quantum_basis_tpu.ops.apply_fullspace import (FullSpaceOp,
+                                                           supports_fullspace)
+
+        if getattr(sector, "_fs", None) is not None:
+            return sector._fs
+        if not isinstance(sector.matvec, MatvecFull):
+            return None  # explicit sparse was requested; honor it
+        if not supports_fullspace(self.compiled_Ham):
+            return None
+        if self.space.label_space > max_blowup * max(sector.dim, 1):
+            return None
+        sector._fs = FullSpaceOp(self.compiled_Ham, sector.labels)
+        return sector._fs
+
     def locate_E0_lanczos(self, which: str = "full", nev: int = 1, ncv: int = 1,
                           maxit: int = 2000, sec: int = 0, seed: int = 1):
         """Ground state (and optionally E1) via restarted Lanczos.
@@ -219,11 +238,20 @@ class Model:
         if done is not None:
             evals, vecs = done
         else:
-            evals, vecs = eigs_smallest(
-                sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
-                maxit=maxit, seed=seed, complex_vec=complex_h,
-                ckpt_key=key + "_krylov",
-            )
+            fs = self._fullspace_op(sector)
+            if fs is not None:
+                evals, vecs_full = eigs_smallest(
+                    fs, fs.N, nev=nev, ncv=max(12, 2 * nev + 6),
+                    maxit=maxit, seed=seed, complex_vec=fs.is_complex or complex_h,
+                    mask=fs.mask, ckpt_key=key + "_krylov",
+                )
+                vecs = [fs.to_sector(v) for v in vecs_full]
+            else:
+                evals, vecs = eigs_smallest(
+                    sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
+                    maxit=maxit, seed=seed, complex_vec=complex_h,
+                    ckpt_key=key + "_krylov",
+                )
             self._ckpt_stage_save(key, evals, vecs)
         self.eigenvals_full = evals[:nev]
         self.eigenvecs_full = vecs[:max(ncv, 1)]
@@ -282,9 +310,18 @@ class Model:
             sector.evals, sector.evecs = evals, vecs
             self._e0_sec = sec
             return
-        evals, vecs = eigs_smallest(sector.matvec, sector.dim, nev=nev, ncv=ncv,
-                                    maxit=maxit, seed=seed,
-                                    complex_vec=sector.matvec.is_complex)
+        fs = self._fullspace_op(sector) if which == "full" else None
+        if fs is not None:
+            evals, vecs_full = eigs_smallest(
+                fs, fs.N, nev=nev, ncv=ncv, maxit=maxit, seed=seed,
+                complex_vec=fs.is_complex or sector.matvec.is_complex,
+                mask=fs.mask)
+            vecs = [fs.to_sector(v) for v in vecs_full]
+        else:
+            mv = self._repr_ell(sector) if which == "repr" else sector.matvec
+            evals, vecs = eigs_smallest(mv, sector.dim, nev=nev,
+                                        ncv=ncv, maxit=maxit, seed=seed,
+                                        complex_vec=mv.is_complex)
         sector.evals, sector.evecs = list(evals), list(vecs)
         if which == "full":
             self.eigenvals_full = evals
@@ -302,8 +339,9 @@ class Model:
 
         sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
         complex_h = (sector.matvec.is_complex if which == "full" else True)
+        mv = self._repr_ell(sector) if which == "repr" else sector.matvec
         evals, vecs = eigs_smallest(
-            sector.matvec, sector.dim, nev=nev, ncv=max(ncv, 2 * nev + 4),
+            mv, sector.dim, nev=nev, ncv=max(ncv, 2 * nev + 4),
             maxit=maxit, seed=seed, complex_vec=complex_h, which="LA",
         )
         if which == "full":
@@ -326,8 +364,9 @@ class Model:
 
         sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
         complex_h = (sector.matvec.is_complex if which == "full" else True)
+        mv = self._repr_ell(sector) if which == "repr" else sector.matvec
         evals, vecs = eigs_window(
-            sector.matvec, sector.dim, e_lo, e_hi, nev_max=nev_max,
+            mv, sector.dim, e_lo, e_hi, nev_max=nev_max,
             degree=degree, n_iter=maxit, seed=seed, complex_vec=complex_h,
         )
         if which == "full":
@@ -437,13 +476,19 @@ class Model:
         return self._tset
 
     def enumerate_basis_repr(self, momentum, conserve_lst=None, val_lst=None,
-                             sec: int = 0):
+                             sec: int = 0, method: str = "direct"):
         """Momentum-sector basis of representatives; build device residency.
 
-        cf. model::enumerate_basis_repr (src/model.cc:274-487) — here by
-        direct device-side orbit classification (SURVEY §7 step 8; the
-        reference's dual-check path made primary). Orbit minima and the
-        quantum-number-sector labels are cached across momenta.
+        cf. model::enumerate_basis_repr (src/model.cc:274-487). Two paths,
+        mirroring the reference's two algorithms:
+
+        - ``method="direct"``: device-side orbit classification over the
+          materialized quantum-number sector (the reference's dual-check
+          path made primary — SURVEY §7 step 8);
+        - ``method="dnc"``: sublattice divide-and-conquer streaming (the
+          Weisse-table equivalent, O(sqrt(label_space)) host memory;
+          basis/weisse.py). Identical output, for sectors too large to
+          materialize.
         """
         from quantum_basis_tpu.basis.translation import enumerate_reps
         from quantum_basis_tpu.ops.apply_repr import MatvecRepr, ReprBasis
@@ -455,10 +500,16 @@ class Model:
             ))
 
         key = (tuple(mopr_key(m) for m in (conserve_lst or [])),
-               tuple(float(v) for v in (val_lst or [])))
+               tuple(float(v) for v in (val_lst or [])), method)
         if self._repr_cache is None or self._repr_cache[0] != key:
-            labels = enumerate_basis(self.space, conserve_lst, val_lst)
-            reps = enumerate_reps(self.tset, labels)
+            if method == "dnc":
+                from quantum_basis_tpu.basis.weisse import enumerate_reps_dnc
+
+                reps = enumerate_reps_dnc(self.tset, conserve_lst, val_lst)
+                labels = reps  # full sector never materialized
+            else:
+                labels = enumerate_basis(self.space, conserve_lst, val_lst)
+                reps = enumerate_reps(self.tset, labels)
             self._repr_cache = (key, labels, reps)
         _, labels, reps = self._repr_cache
 
@@ -477,18 +528,36 @@ class Model:
     def dim_repr(self, sec: int = 0) -> int:
         return self.sec_repr[sec].dim
 
+    def _repr_ell(self, sector):
+        """Explicit ELL for a momentum sector, cached (one extraction pass
+        replaces per-iteration orbit scans)."""
+        from quantum_basis_tpu.ops.apply_repr import MatvecRepr
+        from quantum_basis_tpu.ops.sparse import EllMatrix, build_sparse_repr
+
+        if isinstance(sector.matvec, EllMatrix):
+            return sector.matvec
+        if getattr(sector, "_ell", None) is None:
+            mv = sector.matvec
+            if not isinstance(mv, MatvecRepr):
+                mv = MatvecRepr(self.compiled_Ham, sector.dbasis)
+            sector._ell = build_sparse_repr(mv)
+        return sector._ell
+
     def _dense_solve_repr(self, sector, nev: int):
-        """Small momentum sectors: materialize H_k by unit-vector applies."""
+        """Small momentum sectors: materialize H_k from the one-pass ELL
+        extraction (the old unit-vector probing cost n full applies)."""
         import jax.numpy as jnp
 
         n = sector.dim
+        ell = self._repr_ell(sector)
         H = np.zeros((n, n), dtype=np.complex128)
-        mv = sector.matvec
-        for j in range(n):
-            e = np.zeros(n)
-            e[j] = 1.0
-            yr, yi = mv((jnp.asarray(e), None))
-            H[:, j] = np.asarray(yr) + 1j * np.asarray(yi)
+        rows = np.repeat(np.arange(n), ell.width) if ell.width else np.empty(0, int)
+        cols = np.asarray(ell.cols).reshape(-1)
+        vals = (np.asarray(ell.vre)
+                + 1j * (np.asarray(ell.vim) if ell.vim is not None else 0.0)
+                ).reshape(-1)
+        np.add.at(H, (rows, cols), vals)
+        H[np.arange(n), np.arange(n)] += np.asarray(ell.diag)
         herm_err = np.max(np.abs(H - H.conj().T))
         assert herm_err < 1e-9, f"H_k not Hermitian: {herm_err}"
         evals, evecs = np.linalg.eigh(H)
@@ -787,7 +856,8 @@ class Model:
             evals, vecs = done
         else:
             evals, vecs = eigs_smallest(
-                sector.matvec, sector.dim, nev=nev, ncv=max(12, 2 * nev + 6),
+                self._repr_ell(sector), sector.dim, nev=nev,
+                ncv=max(12, 2 * nev + 6),
                 maxit=maxit, seed=seed, complex_vec=True,
                 ckpt_key=key + "_krylov",
             )

@@ -156,7 +156,8 @@ class DeflatedMatvec:
 
 
 def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
-                  complex_vec=False, which="SA", deg_tol=1e-9, ckpt_key=None):
+                  complex_vec=False, which="SA", deg_tol=1e-9, ckpt_key=None,
+                  mask=None):
     """nev smallest ('SA') or largest ('LA') eigenpairs of Hermitian matvec.
 
     Returns (eigenvalues list, eigenvectors list of split-complex cvecs).
@@ -169,7 +170,7 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     the found window it is a missed copy: insert and verify again.
     """
     vals, vecs = _eigs_core(matvec, n, nev, ncv, maxit, tol, seed,
-                            complex_vec, which, ckpt_key=ckpt_key)
+                            complex_vec, which, ckpt_key=ckpt_key, mask=mask)
     sgn = 1.0 if which == "SA" else -1.0
     guard = 0
     while len(vals) >= nev and guard < 8:
@@ -180,7 +181,7 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         dmv = DeflatedMatvec(matvec, vecs, sigma)
         extra_vals, extra_vecs = _eigs_core(
             dmv, n, 1, max(8, ncv // 2), maxit, tol, seed + 1000 + guard,
-            complex_vec, which,
+            complex_vec, which, mask=mask,
         )
         if not extra_vals:
             break
@@ -199,7 +200,7 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
 
 
 def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
-               complex_vec=False, which="SA", ckpt_key=None):
+               complex_vec=False, which="SA", ckpt_key=None, mask=None):
     """Thick-restart Lanczos core (single starting vector).
 
     With ``ckpt_key`` set and checkpointing enabled (config.enable_ckpt),
@@ -216,7 +217,22 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     rows = ncv + 1
     Hm = np.zeros((rows, rows), dtype=np.complex128)
 
-    re, im = vec_randomize(n, seed=seed, complex_valued=complex_vec)
+    def _proj(re, im):
+        """Project injected random vectors onto the sector support (used by
+        the full-space engine, where out-of-sector noise must never enter
+        the Krylov space)."""
+        if mask is None:
+            return re, im
+        mnp = np.asarray(mask)
+        re = re * mnp
+        nrm = np.sqrt(np.sum(re * re) + (np.sum((im * mnp) ** 2)
+                                         if im is not None else 0.0))
+        re = re / max(nrm, 1e-300)
+        if im is not None:
+            im = im * mnp / max(nrm, 1e-300)
+        return re, im
+
+    re, im = _proj(*vec_randomize(n, seed=seed, complex_valued=complex_vec))
     Vre = jnp.zeros((rows, n)).at[0].set(jnp.asarray(re))
     Vim = jnp.zeros((rows, n)).at[0].set(jnp.asarray(im)) if complex_vec else None
 
@@ -263,7 +279,8 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
             it += 1
             if b_np < 1e-11:
                 # invariant subspace: inject a random orthogonal direction
-                rr, ri = vec_randomize(n, seed=rng_seed, complex_valued=complex_vec)
+                rr, ri = _proj(*vec_randomize(n, seed=rng_seed,
+                                              complex_valued=complex_vec))
                 rng_seed += 7
                 _, row_onehot = masks(m + 1)
                 Vre, Vim, bnorm = ops.insert_random(
