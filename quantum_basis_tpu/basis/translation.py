@@ -54,6 +54,9 @@ class TranslationSet:
             SP[:, g] = sp
             Qs.append(Q)
         self.SP = jnp.asarray(SP)              # (S, G)
+        # f64 copy for the label matmul: XLA TPU has no s64 dot_general
+        # (X64 rewriting unimplemented); f64 is exact below 2^53
+        self.SPf = jnp.asarray(SP.astype(np.float64))
         if self.fermionic:
             self.Q = jnp.asarray(np.stack(Qs).astype(np.float32))  # (G, S, S)
         else:
@@ -69,8 +72,9 @@ class TranslationSet:
         """
         import jax.numpy as jnp
 
-        Vl = V.astype(jnp.int64)
-        labels = jnp.einsum("...s,sg->...g", Vl, self.SP)
+        labels = jnp.round(
+            jnp.einsum("...s,sg->...g", V.astype(jnp.float64), self.SPf)
+        ).astype(jnp.int64)
         if self.fermionic:
             Ff = F.astype(jnp.float32)
             # parity_g = F^T Q_g F  (mod 2): einsum over the two slot axes

@@ -77,7 +77,8 @@ class CenterTranslator:
             sp, Q = space.permutation_arrays(plan)
             SP[:, g] = sp
             Qs.append(Q)
-        self.SP = jnp.asarray(SP)
+        self.SP = jnp.asarray(SP.astype(np.float64))  # f64: exact < 2^53;
+        # s64 dot_general is unimplemented in XLA's TPU X64 rewriting
         self.Q = (jnp.asarray(np.stack(Qs).astype(np.float32))
                   if self.fermionic else None)
 
@@ -117,7 +118,8 @@ class CenterTranslator:
         g = jnp.sum(gmod * jnp.asarray(self._gstr), axis=-1)       # (N,)
 
         # all-class translations, then select column g per state
-        lab_all = jnp.dot(V.astype(jnp.int64), self.SP)            # (N, G)
+        lab_all = jnp.round(
+            jnp.dot(V.astype(jnp.float64), self.SP)).astype(jnp.int64)
         lab_c = jnp.take_along_axis(lab_all, g[:, None], axis=-1)[:, 0]
         if self.fermionic:
             Ff = F.astype(jnp.float32)
@@ -168,7 +170,8 @@ class CenterTranslator:
 
         lab = jnp.asarray(np.asarray([label], dtype=np.int64))
         V, _ = self._decode(lab)
-        lab_all = np.asarray(jnp.dot(V.astype(jnp.int64), self.SP))[0]
+        lab_all = np.asarray(jnp.round(
+            jnp.dot(V.astype(jnp.float64), self.SP)).astype(jnp.int64))[0]
         cnt_repeat = int(np.sum(lab_all == int(label)))
         assert cnt_repeat > 0 and self.G % cnt_repeat == 0
         return self.G // cnt_repeat
