@@ -208,6 +208,21 @@ class Lattice:
             raise ValueError("rotation plan is not a permutation")
         return plan
 
+    def reflection_plan(self, axis: int = 0) -> np.ndarray:
+        """Reflection permutation (API parity: the reference declares this
+        and throws unimplemented, src/lattice.cc:1030-1036 — here it works
+        for single-sublattice lattices by coordinate negation)."""
+        if self.num_sub != 1:
+            raise NotImplementedError(
+                "reflection_plan: single-sublattice lattices only "
+                "(the reference does not implement it at all)")
+        coor_new = self._site2coor.copy()
+        coor_new[:, axis] = (-coor_new[:, axis]) % self.L[axis]
+        plan = np.empty(self.Nsites, dtype=np.int64)
+        for site in range(self.Nsites):
+            plan[site] = self.coor2site(coor_new[site], 0)
+        return plan
+
     def trans_subgroups(self, trans_sym=None):
         """All distinct subgroups of the translation group.
 

@@ -1,0 +1,66 @@
+"""Small components: Wavefunction, basis I/O, reflection, postprocess plots."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quantum_basis_tpu import Lattice, Mopr, Opr
+from quantum_basis_tpu.basis.io import basis_load, basis_save
+from quantum_basis_tpu.basis.wavefunction import Wavefunction
+from quantum_basis_tpu.ops.operators import OprProd
+from tests.models_zoo import SP_HALF, heisenberg_chain
+
+
+def test_wavefunction_algebra_and_apply():
+    m, _ = heisenberg_chain(6, "1/2")
+    space = m.space
+    w = Wavefunction.from_label(0, 1.0)  # all-up
+    # apply S-_2: one image with amplitude 1
+    Sm2 = Mopr([OprProd(1.0, [Opr(2, 0, False, SP_HALF["Sm"])])])
+    w2 = w.apply(Sm2, space)
+    assert w2.size == 1
+    assert abs(w2.norm() - 1.0) < 1e-12
+    # H|all-up> = (L/4)|all-up> for the Heisenberg chain
+    hw = w.apply(m.Ham, space)
+    assert hw.size == 1
+    assert abs(hw.amps[0] - 6 / 4.0) < 1e-12
+    # linear algebra: (w + w) has amplitude 2, inner products match
+    s = w + w
+    assert abs(s.inner(w) - 2.0) < 1e-12
+    assert abs((0.5 * s).norm() - 1.0) < 1e-12
+    # simplify drops cancelled amplitudes
+    z = w + (-1.0) * w
+    assert z.size == 0
+
+
+def test_basis_io_roundtrip(tmp_path):
+    labels = np.sort(np.random.default_rng(1).choice(
+        1 << 40, 1000, replace=False)).astype(np.int64)
+    p = str(tmp_path / "basis.bin")
+    basis_save(p, labels)
+    np.testing.assert_array_equal(basis_load(p), labels)
+
+
+def test_reflection_plan_involution():
+    lat = Lattice("chain", [8], ["pbc"])
+    pl = lat.reflection_plan(0)
+    assert np.array_equal(pl[pl], np.arange(8))
+
+
+def test_postprocess_plots(tmp_path):
+    from quantum_basis_tpu.postprocess import (plot_convergence, plot_lattice,
+                                               plot_sqw, spectral_function)
+
+    # single-pole continued fraction: norm 1, alpha = [2.0] -> peak at w = 2
+    omegas = np.linspace(0, 4, 101)
+    S = spectral_function(omegas, 1.0, np.asarray([2.0]), np.asarray([0.0]),
+                          E0=0.0, eta=0.05)
+    assert abs(omegas[np.argmax(S)] - 2.0) < 0.05
+    out = str(tmp_path / "sqw.png")
+    plot_sqw([0.25], [(1.0, np.asarray([2.0]), np.asarray([0.0]))],
+             omegas, 0.0, out)
+    assert np.fromfile(out, dtype=np.uint8).size > 0
+    lat = Lattice("honeycomb", [2, 2], ["pbc", "pbc"])
+    plot_lattice(lat, str(tmp_path / "latt.png"), bonds=[(0, 1)])
+    plot_convergence([(1, 1e-2), (2, 1e-5), (3, 1e-9)],
+                     str(tmp_path / "conv.png"))
