@@ -31,6 +31,10 @@ enable_ckpt = False
 # Directory for checkpoint files (reference uses ``out_Qckpt/``).
 ckpt_dir = "out_Qckpt"
 
+# When set, solvers append per-restart convergence lines here (the analog of
+# the reference's log_Lanczos_<purpose>.txt / log_CG.txt, SURVEY §5.5).
+solver_log_dir = None
+
 # Label spaces up to this size get an O(1) direct position-lookup table on
 # device; larger spaces fall back to binary search / Lin tables.
 direct_lookup_max = 1 << 26

@@ -199,6 +199,23 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     return vals, vecs
 
 
+def _solver_log(purpose, it, theta, resid):
+    """Per-restart convergence line (reference: log_Lanczos_<purpose>.txt,
+    src/lanczos.cc:102-128); enabled by config.solver_log_dir."""
+    from quantum_basis_tpu import config
+
+    if not config.solver_log_dir:
+        return
+    import os
+
+    os.makedirs(config.solver_log_dir, exist_ok=True)
+    path = os.path.join(config.solver_log_dir, f"log_{purpose}.txt")
+    with open(path, "a") as f:
+        th = " ".join(f"{t:.12f}" for t in theta)
+        rs = " ".join(f"{r:.3e}" for r in resid)
+        f.write(f"{it:8d}  theta: {th}  resid: {rs}\n")
+
+
 def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
                complex_vec=False, which="SA", ckpt_key=None, mask=None):
     """Thick-restart Lanczos core (single starting vector).
@@ -305,6 +322,8 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         # residual estimates: |Hm[mm, :mm] @ S[:, i]| (coupling to row mm)
         coup = Hm[mm, :mm] if mm < rows else np.zeros(mm)
         resid = np.abs(coup @ S)
+        _solver_log("lanczos", it, theta[: min(nev, mm)],
+                    resid[: min(nev, mm)])
         scale = max(np.max(np.abs(theta)), 1.0)
         nconv = 0
         for i in range(min(nev, mm)):
