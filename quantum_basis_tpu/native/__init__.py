@@ -35,9 +35,14 @@ def _build_and_load():
     if os.environ.get("QBX_NO_NATIVE"):
         return None
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.normpath(os.path.join(here, "..", "..", "native",
-                                        "qbx_native.cpp"))
-    if not os.path.exists(src):
+    # source lookup: packaged copy first (wheel installs), then the repo tree
+    candidates = [
+        os.path.join(here, "qbx_native.cpp"),
+        os.path.normpath(os.path.join(here, "..", "..", "native",
+                                      "qbx_native.cpp")),
+    ]
+    src = next((c for c in candidates if os.path.exists(c)), None)
+    if src is None:
         return None
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(here, "qbx_native" + suffix)
