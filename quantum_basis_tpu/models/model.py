@@ -135,13 +135,28 @@ class Model:
 
     # --------------------------------------------------- explicit sparse path
 
-    def generate_Ham_sparse_full(self, sec: int = 0, check: bool = True):
+    @staticmethod
+    def _check_hermiticity(ell, n, complex_vec, check):
+        """check in {False, True/"probe", "exact"}: probe = randomized
+        O(SpMV) test; "exact" = the reference's full O(nnz) verification
+        (src/sparse.cc:235-256)."""
+        from quantum_basis_tpu.ops.sparse import (hermiticity_exact,
+                                                  hermiticity_probe)
+
+        if not check:
+            return
+        if check == "exact":
+            hermiticity_exact(ell)
+        else:
+            hermiticity_probe(ell, n, complex_vec)
+
+    def generate_Ham_sparse_full(self, sec: int = 0, check=True):
         """Extract the explicit ELL matrix for a full sector and switch the
         sector's matvec to it (cf. generate_Ham_sparse_full,
         src/model.cc:619-685 — like the reference, the explicit matrix is an
-        optional speedup over the matrix-free apply)."""
-        from quantum_basis_tpu.ops.sparse import (build_sparse_full,
-                                                  hermiticity_probe)
+        optional speedup over the matrix-free apply). ``check``: False,
+        "probe" (randomized, default) or "exact" (O(nnz) verification)."""
+        from quantum_basis_tpu.ops.sparse import build_sparse_full
 
         s = self.sec_full[sec]
         from quantum_basis_tpu.ops.apply import MatvecFull
@@ -149,25 +164,23 @@ class Model:
         if not isinstance(s.matvec, MatvecFull):
             s.matvec = MatvecFull(self.compiled_Ham, s.dbasis)
         ell = build_sparse_full(s.matvec)
-        if check:
-            hermiticity_probe(ell, s.dim, ell.is_complex)
+        self._check_hermiticity(ell, s.dim, ell.is_complex, check)
         s.matvec_free = s.matvec  # keep the matrix-free path accessible
         s.matvec = ell
         return ell
 
-    def generate_Ham_sparse_repr(self, sec: int = 0, check: bool = True):
+    def generate_Ham_sparse_repr(self, sec: int = 0, check=True):
         """Explicit ELL matrix in a momentum sector (cf.
-        generate_Ham_sparse_repr, src/model.cc:687-836)."""
+        generate_Ham_sparse_repr, src/model.cc:687-836). ``check`` as in
+        :meth:`generate_Ham_sparse_full`."""
         from quantum_basis_tpu.ops.apply_repr import MatvecRepr
-        from quantum_basis_tpu.ops.sparse import (build_sparse_repr,
-                                                  hermiticity_probe)
+        from quantum_basis_tpu.ops.sparse import build_sparse_repr
 
         s = self.sec_repr[sec]
         if not isinstance(s.matvec, MatvecRepr):
             s.matvec = MatvecRepr(self.compiled_Ham, s.dbasis)
         ell = build_sparse_repr(s.matvec)
-        if check:
-            hermiticity_probe(ell, s.dim, True)
+        self._check_hermiticity(ell, s.dim, True, check)
         s.matvec_free = s.matvec
         s.matvec = ell
         return ell

@@ -271,6 +271,61 @@ def build_sparse_repr(matvec) -> EllMatrix:
     return ell
 
 
+def hermiticity_exact(ell: EllMatrix, tol: float = 1e-9) -> None:
+    """Exact O(nnz) Hermiticity verification of an ELL matrix.
+
+    Parity with the reference's full-matrix check (src/sparse.cc:235-256,
+    which walks every CSR entry and exit(99)s on mismatch): every stored
+    entry (i, j, v) must be matched by (j, i, conj(v)) to ``tol``. The
+    randomized :func:`hermiticity_probe` can miss a single-entry asymmetry
+    below its global tolerance; this one cannot. Cost: two host sorts of
+    the nnz stream. Raises AssertionError with the worst offender.
+    """
+    n = ell.n
+    W = ell.width
+    if W == 0 or n == 0:
+        return
+    rows = np.repeat(np.arange(n, dtype=np.int64), W)
+    cols = np.asarray(ell.cols, dtype=np.int64).reshape(-1)
+    vals = np.asarray(ell.vre, dtype=np.float64).reshape(-1).astype(np.complex128)
+    if ell.vim is not None:
+        vals = vals + 1j * np.asarray(ell.vim, dtype=np.float64).reshape(-1)
+    live = np.abs(vals) > 0.0
+    rows, cols, vals = rows[live], cols[live], vals[live]
+
+    def _canon(keys, v):
+        """Sort by key and merge duplicate keys (defensive; compaction
+        normally leaves none)."""
+        order = np.argsort(keys, kind="stable")
+        k = keys[order]
+        v = v[order]
+        if k.size and np.any(k[1:] == k[:-1]):
+            starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+            v = np.add.reduceat(v, starts)
+            k = k[starts]
+        return k, v
+
+    k_f, v_f = _canon(rows * n + cols, vals)
+    k_t, v_t = _canon(cols * n + rows, np.conj(vals))
+    if k_f.shape != k_t.shape or np.any(k_f != k_t):
+        # an entry (i,j) has no transpose partner at all
+        only_f = np.setdiff1d(k_f, k_t)
+        only_t = np.setdiff1d(k_t, k_f)
+        bad = int((only_f if only_f.size else only_t)[0])
+        raise AssertionError(
+            f"H not Hermitian: entry ({bad // n}, {bad % n}) unpaired "
+            "(cf. csr_mat check, src/sparse.cc:235-256)")
+    err = np.abs(v_f - v_t)
+    scale = np.maximum(1.0, np.abs(v_f))
+    worst = int(np.argmax(err / scale)) if err.size else 0
+    if err.size and err[worst] > tol * scale[worst]:
+        i, j = int(k_f[worst] // n), int(k_f[worst] % n)
+        raise AssertionError(
+            f"H not Hermitian: H[{i},{j}]={v_f[worst]:.12g} vs "
+            f"conj(H[{j},{i}])={v_t[worst]:.12g} "
+            "(cf. csr_mat check, src/sparse.cc:235-256)")
+
+
 def hermiticity_probe(matvec_or_ell, n: int, complex_vec: bool,
                       n_probes: int = 3, seed: int = 11, tol: float = 1e-9):
     """Randomized Hermiticity check: <z|Hx> == conj(<x|Hz>).

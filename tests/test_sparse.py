@@ -101,3 +101,46 @@ def test_ell_fermi_hubbard_golden():
     m.generate_Ham_sparse_full(0)
     m.locate_E0_lanczos(nev=1, ncv=1)
     assert abs(m.eigenvals_full[0] - (-14.07605866)) < 1e-8
+
+
+def test_hermiticity_exact_passes_and_catches_single_entry():
+    """The exact O(nnz) verification (reference src/sparse.cc:235-256
+    parity) passes a real model and catches a single-entry asymmetry
+    small enough to hide below the randomized probe's global tolerance."""
+    import jax.numpy as jnp
+
+    from quantum_basis_tpu.ops.sparse import (hermiticity_exact,
+                                              hermiticity_probe)
+
+    m, cons = heisenberg_chain(10, "1/2")
+    m.enumerate_basis_full([cons["Sz"]], [0.0])
+    ell = m.generate_Ham_sparse_full(0, check="exact")  # passes
+
+    # surgically break ONE stored off-diagonal entry by 1e-10 — far below
+    # what the randomized probe's global 1e-9 tolerance can resolve, but a
+    # per-entry comparison pins it immediately
+    vre = np.asarray(ell.vre).copy()
+    idx = np.argwhere(np.abs(vre) > 0.1)[0]
+    vre[idx[0], idx[1]] += 1e-10
+    ell.vre = jnp.asarray(vre)
+    hermiticity_probe(ell, ell.n, ell.is_complex)  # too small for the probe
+    with pytest.raises(AssertionError, match="not Hermitian"):
+        hermiticity_exact(ell, tol=1e-11)
+
+
+def test_hermiticity_exact_catches_unpaired_entry():
+    import jax.numpy as jnp
+
+    from quantum_basis_tpu.ops.sparse import hermiticity_exact
+
+    m, cons = heisenberg_chain(8, "1/2")
+    m.enumerate_basis_full([cons["Sz"]], [0.0])
+    ell = m.generate_Ham_sparse_full(0, check=False)
+    vre = np.asarray(ell.vre).copy()
+    cols = np.asarray(ell.cols).copy()
+    # retarget one entry to a column whose transpose partner does not exist
+    i = int(np.argwhere(np.abs(vre) > 0.1)[0][0])
+    cols[i, 0] = (cols[i, 0] + 1) % ell.n
+    ell.cols = jnp.asarray(cols)
+    with pytest.raises(AssertionError, match="unpaired|not Hermitian"):
+        hermiticity_exact(ell)
