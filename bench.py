@@ -1,14 +1,15 @@
-"""Benchmark: full-space roll-engine SpMV throughput on the flagship workload.
+"""Benchmark: production SpMV throughput on the flagship workload.
 
 Runs on whatever backend JAX selects (the driver runs this on a real TPU
 chip). Workload: spin-1/2 Heisenberg chain L=24, Sz=0 sector
-(dim C(24,12) = 2,704,156; 67.6M sector nonzeros per apply) — the hot kernel
-of every Lanczos/dynamics run in the framework.
+(dim C(24,12) = 2,704,156; 36.6M sector matrix nonzeros per apply) — the hot
+kernel of every Lanczos/dynamics run in the framework.
 
-Engine: ops/apply_fullspace.py — Hamiltonian terms as masked rolls over the
-full 2^24 label space (no gathers). The metric counts the SECTOR matrix
-nonzeros actually applied (exact device count at setup), so it is directly
-comparable to a CSR SpMV nnz/s number.
+Engine: ops/apply_contract.py in float32 — the mixed-precision Krylov hot
+path (window contractions on the MXU at HIGHEST dot precision; f64 polish
+runs a handful of extra iterations at the end of a solve and is not the
+steady-state kernel). The metric counts SECTOR matrix nonzeros actually
+applied (exact host-side count), directly comparable to a CSR SpMV nnz/s.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no performance numbers (SURVEY.md §6); vs_baseline
@@ -26,58 +27,82 @@ import numpy as np
 _NOMINAL = 1.0e9  # nnz/s nominal target (no reference numbers exist)
 
 
+def sector_nnz(compiled, labels) -> int:
+    """Exact stored-nonzero count of H over the sector: diagonal + one per
+    (state, image) with nonzero amplitude — host-side, no device work."""
+    space = compiled.space
+    shifts = [int(s).bit_length() - 1 for s in space.strides]
+    pow2 = all(int(d) & (int(d) - 1) == 0 for d in space.dims)
+    total = labels.size  # diagonal
+    for slots, dims, jstr, M, w in compiled.term_matrices:
+        kcount = (np.abs(M) > 1e-14).sum(axis=0).astype(np.int64)  # per col
+        col = np.zeros(labels.size, dtype=np.int64)
+        for i, s in enumerate(slots):
+            if pow2:
+                dig = (labels >> shifts[s]) & (int(space.dims[s]) - 1)
+            else:
+                dig = (labels // int(space.strides[s])) % int(space.dims[s])
+            col += dig * int(jstr[i])
+        total += int(kcount[col].sum())
+    return int(total)
+
+
 def main():
     L = 24
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _chain_setup
-    from quantum_basis_tpu.ops.apply_fullspace import FullSpaceOp
-    from quantum_basis_tpu.utils.rng import vec_randomize
+    from quantum_basis_tpu.ops.apply_contract import ContractOp
 
     t0 = time.time()
     compiled, _, labels = _chain_setup(L, light=True)
-    fs = FullSpaceOp(compiled, labels)
+    nnz = sector_nnz(compiled, labels)
+    fs = ContractOp(compiled, labels, dtype=jnp.float32)
     n = labels.size
 
-    # exact sector-nnz count: diagonal + per-pass in-sector source states
-    # with nonzero amplitude (each contributes one matrix entry)
-    def count_nnz():
-        N = fs.N
-        lab = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
-        total = jnp.asarray(0, dtype=jnp.int64)
-        m = fs.mask
-        for dl, slots, jstr, col, wmask, dims in fs._passes:
-            c = jnp.zeros(N, dtype=jnp.int32)
-            for i, s in enumerate(slots):
-                stride = int(fs.space.strides[s])
-                d = int(dims[i])
-                c = c + ((lab // np.int32(stride)) % np.int32(d)) \
-                    * np.int32(int(jstr[i]))
-            hit = jnp.zeros(N, dtype=bool)
-            for ci in np.nonzero(np.abs(col) > 1e-14)[0]:
-                hit = hit | (c == np.int32(int(ci)))
-            total = total + jnp.sum(jnp.where(hit, m, 0.0)).astype(jnp.int64)
-        return total
+    # start vector built ON DEVICE: host->device pushes of full-space arrays
+    # cost tens of seconds over a tunneled chip and are not part of the
+    # kernel under test
+    @jax.jit
+    def start_vec(mask):
+        v = mask * jax.random.normal(jax.random.PRNGKey(1), (fs.N,),
+                                     jnp.float32)
+        return v / jnp.linalg.norm(v)
 
-    nnz = int(jax.jit(count_nnz)()) + n  # + diagonal
-    re, _ = vec_randomize(fs.N, seed=1)
-    x = jnp.asarray(re * np.asarray(fs.mask))
+    x = start_vec(fs.mask)
     params = fs.params
 
-    fn = jax.jit(lambda p, v: fs.apply(p, (v, None))[0])
-    y = fn(params, x)
-    jax.block_until_ready(y)  # compile + warm-up
+    # Timing protocol for the tunneled chip: block_until_ready does NOT
+    # block on the axon platform and per-dispatch latency is ~seconds, so
+    # (a) the whole apply chain runs INSIDE one jit as a fori_loop
+    #     (normalized power iteration — each apply consumes the previous
+    #     result, exactly a Lanczos step's dataflow), and
+    # (b) completion is forced by fetching a scalar, and
+    # (c) per-apply time = (t[iters] - t[warm]) / (iters - warm), the
+    #     difference canceling the fixed dispatch + fetch overhead.
+    def step(v):
+        y = fs.apply(params, (v, None))[0]
+        return y / jnp.linalg.norm(y)
+
+    @jax.jit
+    def chain(v, k):
+        v = jax.lax.fori_loop(0, k, lambda i, u: step(u), v)
+        return jnp.vdot(v, v)
+
+    warm, iters = 2, 52
+    float(chain(x, warm))   # compile + warm-up
+    float(chain(x, iters))
     t_setup = time.time() - t0
 
-    # timed: chained applies (like a Lanczos inner loop)
-    iters = 50
     t1 = time.time()
-    v = x
-    for _ in range(iters):
-        v = fn(params, v)
-    jax.block_until_ready(v)
-    dt = (time.time() - t1) / iters
+    s0 = float(chain(x, warm))
+    t_warm = time.time() - t1
+    t1 = time.time()
+    s1 = float(chain(x, iters))
+    t_full = time.time() - t1
+    assert abs(s0 - 1.0) < 1e-3 and abs(s1 - 1.0) < 1e-3, (s0, s1)
+    dt = (t_full - t_warm) / (iters - warm)
 
     nnz_per_s = nnz / dt
     out = {
@@ -87,7 +112,7 @@ def main():
         "vs_baseline": round(nnz_per_s / _NOMINAL, 4),
         "detail": {
             "workload": f"heisenberg_chain_L{L}_Sz0",
-            "engine": "fullspace_rolls",
+            "engine": "contract_windows_f32",
             "dim": int(n),
             "nnz": int(nnz),
             "ms_per_apply": round(dt * 1e3, 3),

@@ -46,6 +46,34 @@ def enumerate_basis(
 
     chunk = int(min(chunk, total))
 
+    if total <= (1 << 26):
+        # host fast path: vectorized numpy scan (the compiled diagonal
+        # evaluators dispatch on the array namespace). The device loop below
+        # pays a dispatch + decode round-trip per chunk, which measured
+        # ~50x slower than this for the 2^24 chain on a tunneled TPU.
+        pow2 = all(int(d) & (int(d) - 1) == 0 for d in space.dims)
+        shifts = [int(s).bit_length() - 1 for s in space.strides]
+        keep = []
+        for start in range(0, total, chunk):
+            labels = np.arange(start, min(start + chunk, total),
+                               dtype=np.int64)
+            V = np.empty((labels.size, space.n_slots), dtype=np.int32)
+            for s in range(space.n_slots):
+                if pow2:
+                    # shift/mask decode: ~30x faster than int64 // and %
+                    V[:, s] = (labels >> shifts[s]) & (int(space.dims[s]) - 1)
+                else:
+                    V[:, s] = (labels // int(space.strides[s])) \
+                        % int(space.dims[s])
+            ok = np.ones(labels.size, dtype=bool)
+            for ev, v in zip(evals, vals):
+                ok &= np.abs(ev(V) - v) < _QN_TOL
+            if ok.any():
+                keep.append(labels[ok])
+        if not keep:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(keep)
+
     @jax.jit
     def chunk_mask(start):
         labels = start + jnp.arange(chunk, dtype=jnp.int64)

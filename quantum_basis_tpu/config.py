@@ -28,6 +28,17 @@ lanczos_precision = 2e-12   # Lanczos convergence tolerance
 # Crash-consistent checkpointing of long Krylov runs (reference: src/ckpt.cc:11).
 enable_ckpt = False
 
+# Mixed-precision Krylov (SURVEY §7.2 hard part #2): run the Lanczos bulk in
+# float32 on the MXU-contraction engine, then polish in float64 from the f32
+# Ritz vector. The final eigenpairs still meet the f64 solver tolerance; the
+# f32 stage does ~all the SpMV work at the fast-engine rate. Off by default —
+# enable per run via initialize(mixed_precision=True) or set directly.
+mixed_precision = False
+
+# f32-stage convergence target (residual, relative to |E|); the f64 polish
+# stage then runs to the caller's tolerance from this warm start.
+mixed_precision_f32_tol = 1e-5
+
 # Directory for checkpoint files (reference uses ``out_Qckpt/``).
 ckpt_dir = "out_Qckpt"
 
@@ -40,7 +51,8 @@ solver_log_dir = None
 direct_lookup_max = 1 << 26
 
 
-def initialize(enable_checkpoint: bool = False, quiet: bool = False) -> None:
+def initialize(enable_checkpoint: bool = False, quiet: bool = False,
+               mixed_precision: bool | None = None) -> None:
     """Set up the library: x64, checkpoint flag, environment banner.
 
     TPU-native analog of ``qbasis::initialize`` (reference:
@@ -49,6 +61,8 @@ def initialize(enable_checkpoint: bool = False, quiet: bool = False) -> None:
     """
     global enable_ckpt
     enable_ckpt = bool(enable_checkpoint)
+    if mixed_precision is not None:
+        globals()["mixed_precision"] = bool(mixed_precision)
     jax.config.update("jax_enable_x64", True)
     if quiet:
         return

@@ -200,24 +200,45 @@ class Model:
                          jnp.asarray(v.imag.copy()) if complex_h else None))
         return evals[:nev].tolist(), vecs
 
-    def _fullspace_op(self, sector, max_blowup: float = 64.0):
-        """Full-label-space roll engine for this sector when supported and
-        the label-space blowup is worth it (see ops/apply_fullspace.py);
-        None otherwise. Cached on the sector."""
+    def _fullspace_op(self, sector, max_blowup: float = 64.0, dtype=None):
+        """Full-label-space engine for this sector when supported and the
+        label-space blowup is worth it; None otherwise. Cached per dtype.
+
+        f64 (default): the masked-roll engine (ops/apply_fullspace.py) when
+        its popcount-JW constraint holds, else the window-contraction engine
+        (ops/apply_contract.py — exact joint matrices, so it also covers
+        d=3 models like t-J that the roll engine cannot).
+        f32: always the window-contraction engine (the mixed-precision
+        Krylov hot path — MXU matmuls at HIGHEST precision).
+        """
+        import jax.numpy as jnp
+
         from quantum_basis_tpu.ops.apply import MatvecFull
+        from quantum_basis_tpu.ops.apply_contract import (ContractOp,
+                                                          supports_contract)
         from quantum_basis_tpu.ops.apply_fullspace import (FullSpaceOp,
                                                            supports_fullspace)
 
-        if getattr(sector, "_fs", None) is not None:
-            return sector._fs
+        dtype = jnp.dtype(dtype or jnp.float64)
+        cache = getattr(sector, "_fs_cache", None)
+        if cache is None:
+            cache = sector._fs_cache = {}
+        if dtype in cache:
+            return cache[dtype]
         if not isinstance(sector.matvec, MatvecFull):
             return None  # explicit sparse was requested; honor it
-        if not supports_fullspace(self.compiled_Ham):
-            return None
         if self.space.label_space > max_blowup * max(sector.dim, 1):
             return None
-        sector._fs = FullSpaceOp(self.compiled_Ham, sector.labels)
-        return sector._fs
+        op = None
+        if dtype == jnp.dtype(jnp.float32):
+            if supports_contract(self.compiled_Ham):
+                op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
+        elif supports_fullspace(self.compiled_Ham):
+            op = FullSpaceOp(self.compiled_Ham, sector.labels)
+        elif supports_contract(self.compiled_Ham):
+            op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
+        cache[dtype] = op
+        return op
 
     def locate_E0_lanczos(self, which: str = "full", nev: int = 1, ncv: int = 1,
                           maxit: int = 2000, sec: int = 0, seed: int = 1):
@@ -251,12 +272,33 @@ class Model:
         if done is not None:
             evals, vecs = done
         else:
+            from quantum_basis_tpu import config
+
             fs = self._fullspace_op(sector)
+            ncv_ = max(12, 2 * nev + 6)
+            v0 = None
+            if fs is not None and config.mixed_precision:
+                # mixed-precision stage 1 (SURVEY §7.2 #2): bulk Krylov in
+                # f32 on the contraction engine; its Ritz vector warm-starts
+                # the f64 polish below, which typically converges in one or
+                # two restarts
+                import jax.numpy as jnp
+
+                fs32 = self._fullspace_op(sector, dtype=jnp.float32)
+                if fs32 is not None:
+                    cv32 = fs32.is_complex or complex_h
+                    _, v32 = eigs_smallest(
+                        fs32, fs32.N, nev=nev, ncv=ncv_, maxit=maxit,
+                        seed=seed, complex_vec=cv32, mask=fs32.mask,
+                        tol=config.mixed_precision_f32_tol,
+                    )
+                    if v32:
+                        v0 = v32[0]
             if fs is not None:
                 evals, vecs_full = eigs_smallest(
                     fs, fs.N, nev=nev, ncv=max(12, 2 * nev + 6),
                     maxit=maxit, seed=seed, complex_vec=fs.is_complex or complex_h,
-                    mask=fs.mask, ckpt_key=key + "_krylov",
+                    mask=fs.mask, ckpt_key=key + "_krylov", v0=v0,
                 )
                 vecs = [fs.to_sector(v) for v in vecs_full]
             else:

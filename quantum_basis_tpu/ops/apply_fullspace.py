@@ -17,9 +17,11 @@ sign is a popcount over a precomputed bitmask. All passes are dense,
 regular, fusable VPU work.
 
 Trade-off: vectors are label_space long instead of sector-dim long (e.g.
-6.2x for the L=24 Sz=0 chain), but each element-touch is ~40x cheaper than a
-gather — measured 992 ms (ELL) -> ~22 ms per apply on the L=24 bench chip.
-Sector states stay exactly in-sector (H conserves the quantum numbers and
+6.2x for the L=24 Sz=0 chain), but each element-touch is ~18x cheaper than a
+gather — measured 992 ms (ELL) -> 54.8 ms per f64 apply on the L=24 bench
+chip (BENCH_r01.json). The successor engine in ops/apply_contract.py reduces
+this further by turning bond groups into MXU window contractions. Sector
+states stay exactly in-sector (H conserves the quantum numbers and
 out-of-sector amplitudes start and remain zero); random solver restarts are
 projected by the sector mask.
 

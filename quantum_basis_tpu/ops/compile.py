@@ -219,6 +219,9 @@ class CompiledOperator:
     groups: list
     hermitian_pairing: bool
     nnz_per_row: int
+    # exact merged off-diagonal term matrices [(slots, dims, jstr, M, w)],
+    # kept for engines that need the full joint matrix (window contraction)
+    term_matrices: list = field(default_factory=list)
 
     def has_offdiag(self) -> bool:
         return bool(self.groups)
@@ -265,6 +268,7 @@ def compile_operator(mopr: Mopr, space: StateSpace) -> CompiledOperator:
     # joint matrix contributes only when w == 0 (no external JW string);
     # with w != 0 keep it in the off-diagonal tables (delta = 0 entries).
     by_arity = {}
+    term_matrices = []
     for slots, dims, jstr, digits, M, w in merged.values():
         D = M.shape[0]
         if not np.any(w):
@@ -278,6 +282,7 @@ def compile_operator(mopr: Mopr, space: StateSpace) -> CompiledOperator:
         mask = np.abs(M) > sparse_precision
         if not mask.any():
             continue
+        term_matrices.append((list(slots), list(dims), jstr.copy(), M, w))
         K = int(mask.sum(axis=0).max())  # nonzero rows per column
         amp = np.zeros((D, K), dtype=np.complex128)
         dlt = np.zeros((D, K), dtype=np.int64)
@@ -329,6 +334,7 @@ def compile_operator(mopr: Mopr, space: StateSpace) -> CompiledOperator:
         groups=groups,
         hermitian_pairing=True,
         nnz_per_row=nnz,
+        term_matrices=term_matrices,
     )
 
 

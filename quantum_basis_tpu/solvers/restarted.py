@@ -37,25 +37,34 @@ class _DeviceOps:
         self.ncv = ncv
         self.n = n
         self.cplx = complex_vec
+        self.dtype = jnp.dtype(getattr(matvec, "dtype", jnp.float64))
         mv_apply, self.mv_params = _mv_protocol(matvec)
+
+        # f32 buffers: force true-f32 dots (TPU default is bf16 inputs, whose
+        # ~2.5e-3 relative error would destroy Krylov orthogonality)
+        prec = (jax.lax.Precision.HIGHEST
+                if self.dtype == jnp.dtype(jnp.float32) else None)
+
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=prec)
 
         def proj(Vre, Vim, wr, wi, mask):
             """h = V^dagger w (masked rows): returns (hr, hi)."""
-            hr = (Vre * mask[:, None]) @ wr
+            hr = mm(Vre * mask[:, None], wr)
             hi = None
             if self.cplx:
-                hr = hr + (Vim * mask[:, None]) @ wi
-                hi = (Vre * mask[:, None]) @ wi - (Vim * mask[:, None]) @ wr
+                hr = hr + mm(Vim * mask[:, None], wi)
+                hi = mm(Vre * mask[:, None], wi) - mm(Vim * mask[:, None], wr)
             return hr, hi
 
         def subtract(Vre, Vim, wr, wi, hr, hi, mask):
             """w -= V^T h (masked)."""
             hr = hr * mask
-            wr = wr - hr @ Vre
+            wr = wr - mm(hr, Vre)
             if self.cplx:
                 hi = hi * mask
-                wr = wr + hi @ Vim
-                wi = wi - hr @ Vim - hi @ Vre
+                wr = wr + mm(hi, Vim)
+                wi = wi - mm(hr, Vim) - mm(hi, Vre)
             return wr, wi
 
         def step(Vre, Vim, m_onehot, mask, params):
@@ -66,8 +75,8 @@ class _DeviceOps:
             (capturing them as constants triggers XLA constant folding over
             the whole x-independent index arithmetic — minutes of compile).
             """
-            vr = m_onehot @ Vre
-            vi = m_onehot @ Vim if self.cplx else None
+            vr = mm(m_onehot, Vre)
+            vi = mm(m_onehot, Vim) if self.cplx else None
             yr, yi = mv_apply(params, (vr, vi))
             h1r, h1i = proj(Vre, Vim, yr, yi, mask)
             yr, yi = subtract(Vre, Vim, yr, yi, h1r, h1i, mask)
@@ -75,24 +84,25 @@ class _DeviceOps:
             yr, yi = subtract(Vre, Vim, yr, yi, h2r, h2i, mask)
             hr = h1r + h2r
             hi = (h1i + h2i) if self.cplx else jnp.zeros_like(h1r)
-            b = jnp.sqrt(jnp.vdot(yr, yr) + (jnp.vdot(yi, yi) if self.cplx else 0.0))
+            b = jnp.sqrt(jnp.vdot(yr, yr, precision=prec)
+                         + (jnp.vdot(yi, yi, precision=prec) if self.cplx else 0.0))
             inv = jnp.where(b > _BREAKDOWN, 1.0 / jnp.maximum(b, _BREAKDOWN), 0.0)
             # write normalized next vector into the row after m (shift onehot)
             nxt = jnp.roll(m_onehot, 1)
-            Vre = Vre + nxt[:, None] * (yr * inv)[None, :] - nxt[:, None] * (nxt @ Vre)[None, :]
+            Vre = Vre + nxt[:, None] * (yr * inv)[None, :] - nxt[:, None] * mm(nxt, Vre)[None, :]
             if self.cplx:
-                Vim = Vim + nxt[:, None] * (yi * inv)[None, :] - nxt[:, None] * (nxt @ Vim)[None, :]
+                Vim = Vim + nxt[:, None] * (yi * inv)[None, :] - nxt[:, None] * mm(nxt, Vim)[None, :]
             return Vre, Vim, hr, hi, b
 
         def compact(Vre, Vim, Sre, Sim, m_onehot):
             """Thick restart: rows <- [S^T V ; v_m], S is (ncv+1, keep)."""
-            vr = m_onehot @ Vre
-            vi = m_onehot @ Vim if self.cplx else jnp.zeros_like(vr)
-            Yre = Sre.T @ Vre
+            vr = mm(m_onehot, Vre)
+            vi = mm(m_onehot, Vim) if self.cplx else jnp.zeros_like(vr)
+            Yre = mm(Sre.T, Vre)
             Yim = None
             if self.cplx:
-                Yre = Yre - Sim.T @ Vim
-                Yim = Sre.T @ Vim + Sim.T @ Vre
+                Yre = Yre - mm(Sim.T, Vim)
+                Yim = mm(Sre.T, Vim) + mm(Sim.T, Vre)
             k = Sre.shape[1]
             newVre = jnp.zeros_like(Vre).at[:k].set(Yre).at[k].set(vr)
             newVim = None
@@ -106,14 +116,47 @@ class _DeviceOps:
             rr, ri = subtract(Vre, Vim, rr, ri, h1r, h1i, mask)
             h2r, h2i = proj(Vre, Vim, rr, ri, mask)
             rr, ri = subtract(Vre, Vim, rr, ri, h2r, h2i, mask)
-            b = jnp.sqrt(jnp.vdot(rr, rr) + (jnp.vdot(ri, ri) if self.cplx else 0.0))
+            b = jnp.sqrt(jnp.vdot(rr, rr, precision=prec)
+                         + (jnp.vdot(ri, ri, precision=prec) if self.cplx else 0.0))
             inv = 1.0 / jnp.maximum(b, _BREAKDOWN)
-            Vre = Vre + row_onehot[:, None] * ((rr * inv)[None, :] - (row_onehot @ Vre)[None, :])
+            Vre = Vre + row_onehot[:, None] * ((rr * inv)[None, :] - mm(row_onehot, Vre)[None, :])
             if self.cplx:
-                Vim = Vim + row_onehot[:, None] * ((ri * inv)[None, :] - (row_onehot @ Vim)[None, :])
+                Vim = Vim + row_onehot[:, None] * ((ri * inv)[None, :] - mm(row_onehot, Vim)[None, :])
             return Vre, Vim, b
 
+        def expand(Vre, Vim, m0, params):
+            """Fused inner loop: steps m0..ncv-1 in ONE device dispatch.
+
+            Eliminates the per-step host sync (the projected-column
+            np.asarray round-trip costs ~10-30 ms/step over a tunneled
+            chip); the whole Hm block comes back in one transfer. Returns
+            (Vre, Vim, Hr, Hi, bvec): Hr[:, j] (+ i Hi) is the CGS2
+            projection column of step j, bvec[j] its beta. A breakdown
+            (beta < 1e-11) zeroes the next vector so later columns are
+            zeros; the host detects it from bvec and falls back to the
+            stepwise path with random reinjection.
+            """
+            rows = ncv + 1
+            idx = jnp.arange(rows)
+            Hr = jnp.zeros((rows, rows), self.dtype)
+            Hi = jnp.zeros((rows, rows), self.dtype)
+            bvec = jnp.zeros(rows, self.dtype)
+
+            def body(j, carry):
+                Vre, Vim, Hr, Hi, bvec = carry
+                onehot = (idx == j).astype(self.dtype)
+                mask = (idx <= j).astype(self.dtype)
+                Vre, Vim, hr, hi, b = step(Vre, Vim, onehot, mask, params)
+                Hr = Hr.at[:, j].set(hr)
+                Hi = Hi.at[:, j].set(hi)
+                bvec = bvec.at[j].set(b.astype(self.dtype))
+                return (Vre, Vim, Hr, Hi, bvec)
+
+            return jax.lax.fori_loop(m0, ncv, body,
+                                     (Vre, Vim, Hr, Hi, bvec))
+
         self.step = jax.jit(step, donate_argnums=(0, 1) if complex_vec else (0,))
+        self.expand = jax.jit(expand, donate_argnums=(0, 1) if complex_vec else (0,))
         self.compact = jax.jit(compact)
         self.insert_random = jax.jit(insert_random)
 
@@ -157,7 +200,7 @@ class DeflatedMatvec:
 
 def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
                   complex_vec=False, which="SA", deg_tol=1e-9, ckpt_key=None,
-                  mask=None):
+                  mask=None, v0=None):
     """nev smallest ('SA') or largest ('LA') eigenpairs of Hermitian matvec.
 
     Returns (eigenvalues list, eigenvectors list of split-complex cvecs).
@@ -170,7 +213,8 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     the found window it is a missed copy: insert and verify again.
     """
     vals, vecs = _eigs_core(matvec, n, nev, ncv, maxit, tol, seed,
-                            complex_vec, which, ckpt_key=ckpt_key, mask=mask)
+                            complex_vec, which, ckpt_key=ckpt_key, mask=mask,
+                            v0=v0)
     sgn = 1.0 if which == "SA" else -1.0
     guard = 0
     while len(vals) >= nev and guard < 8:
@@ -217,7 +261,8 @@ def _solver_log(purpose, it, theta, resid):
 
 
 def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
-               complex_vec=False, which="SA", ckpt_key=None, mask=None):
+               complex_vec=False, which="SA", ckpt_key=None, mask=None,
+               v0=None):
     """Thick-restart Lanczos core (single starting vector).
 
     With ``ckpt_key`` set and checkpointing enabled (config.enable_ckpt),
@@ -249,11 +294,27 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
             im = im * mnp / max(nrm, 1e-300)
         return re, im
 
-    re, im = _proj(*vec_randomize(n, seed=seed, complex_valued=complex_vec))
-    Vre = jnp.zeros((rows, n)).at[0].set(jnp.asarray(re))
-    Vim = jnp.zeros((rows, n)).at[0].set(jnp.asarray(im)) if complex_vec else None
-
     ops = _DeviceOps(matvec, n, ncv, complex_vec)
+    dt = ops.dtype
+    if v0 is not None:
+        # warm start (e.g. the f64 polish stage of a mixed-precision solve
+        # resuming from the f32 stage's Ritz vector)
+        re = np.asarray(v0[0], dtype=np.float64)
+        im = (np.asarray(v0[1], dtype=np.float64) if complex_vec else None)
+        if im is None and complex_vec:
+            im = np.zeros_like(re)
+        re, im = _proj(re, im)
+        nrm = np.sqrt(np.sum(re * re)
+                      + (np.sum(im * im) if im is not None else 0.0))
+        re = re / max(nrm, 1e-300)
+        if im is not None:
+            im = im / max(nrm, 1e-300)
+    else:
+        re, im = _proj(*vec_randomize(n, seed=seed,
+                                      complex_valued=complex_vec))
+    Vre = jnp.zeros((rows, n), dt).at[0].set(jnp.asarray(re, dt))
+    Vim = (jnp.zeros((rows, n), dt).at[0].set(jnp.asarray(im, dt))
+           if complex_vec else None)
     m = 0           # index of current vector (column being generated)
     k_locked = 0    # thick-restart block size currently in Hm
     it = 0
@@ -262,8 +323,8 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     if store is not None:
         rec = store.load(ckpt_key)
         if rec is not None and rec["Vre"].shape == (rows, n):
-            Vre = jnp.asarray(rec["Vre"])
-            Vim = jnp.asarray(rec["Vim"]) if complex_vec else None
+            Vre = jnp.asarray(rec["Vre"], dt)
+            Vim = jnp.asarray(rec["Vim"], dt) if complex_vec else None
             Hm = rec["Hm"].astype(np.complex128)
             m = int(rec["m"])
             it = int(rec["it"])
@@ -275,44 +336,52 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         mask[: m + 1] = 1.0
         onehot = np.zeros(rows)
         onehot[m] = 1.0
-        return jnp.asarray(mask), jnp.asarray(onehot)
+        return jnp.asarray(mask, dt), jnp.asarray(onehot, dt)
 
     while it < maxit:
-        # expand Krylov space to ncv columns
+        # expand Krylov space to ncv columns — ONE device dispatch for the
+        # whole m..ncv block (ops.expand), one host sync per restart
         while m < ncv:
-            mask, onehot = masks(m)
-            Vre, Vim, hr, hi, b = ops.step(
-                Vre, Vim if Vim is not None else jnp.zeros((1, 1)), onehot, mask,
-                ops.mv_params,
-            ) if complex_vec else _step_real(ops, Vre, onehot, mask)
-            hr_np = np.asarray(hr)
-            hi_np = np.asarray(hi) if complex_vec else np.zeros_like(hr_np)
-            col = hr_np + 1j * hi_np
-            Hm[: m + 1, m] = col[: m + 1]
-            Hm[m, : m + 1] = np.conj(col[: m + 1])
-            b_np = float(b)
-            Hm[m + 1, m] = b_np
-            Hm[m, m + 1] = b_np
-            it += 1
-            if b_np < 1e-11:
-                # invariant subspace: inject a random orthogonal direction
+            if complex_vec:
+                Vre, Vim, Hr_d, Hi_d, b_d = ops.expand(
+                    Vre, Vim, np.int32(m), ops.mv_params)
+            else:
+                Vre, _, Hr_d, Hi_d, b_d = ops.expand(
+                    Vre, jnp.zeros((1, 1)), np.int32(m), ops.mv_params)
+            Hr = np.asarray(Hr_d, dtype=np.float64)
+            Hi = (np.asarray(Hi_d, dtype=np.float64) if complex_vec
+                  else np.zeros_like(Hr))
+            bs = np.asarray(b_d, dtype=np.float64)
+            stop = next((j for j in range(m, ncv) if bs[j] < 1e-11), ncv)
+            for j in range(m, min(stop + 1, ncv)):
+                col = Hr[:, j] + 1j * Hi[:, j]
+                Hm[: j + 1, j] = col[: j + 1]
+                Hm[j, : j + 1] = np.conj(col[: j + 1])
+                b_np = bs[j] if bs[j] >= 1e-11 else 0.0
+                Hm[j + 1, j] = b_np
+                Hm[j, j + 1] = b_np
+                it += 1
+            m = min(stop + 1, ncv)
+            if stop < ncv:
+                # invariant subspace at step `stop` (the fused loop zeroed
+                # the following rows): inject a random orthogonal direction
+                # at row stop+1 and resume the fused expansion from there
                 rr, ri = _proj(*vec_randomize(n, seed=rng_seed,
                                               complex_valued=complex_vec))
                 rng_seed += 7
-                _, row_onehot = masks(m + 1)
+                mask, _ = masks(stop)
+                _, row_onehot = masks(stop + 1)
                 Vre, Vim, bnorm = ops.insert_random(
                     Vre,
                     Vim if Vim is not None else jnp.zeros((1, 1)),
-                    jnp.asarray(rr),
-                    jnp.asarray(ri) if ri is not None else jnp.zeros(n),
+                    jnp.asarray(rr, Vre.dtype),
+                    (jnp.asarray(ri, Vre.dtype) if ri is not None
+                     else jnp.zeros(n, Vre.dtype)),
                     mask, row_onehot,
-                ) if complex_vec else _insert_real(ops, Vre, rr, mask, row_onehot)
-                Hm[m + 1, m] = 0.0
-                Hm[m, m + 1] = 0.0
-                if float(bnorm) < _BREAKDOWN * 10 or m + 1 >= n:
-                    m += 1
+                ) if complex_vec else _insert_real(ops, Vre, rr, mask,
+                                                   row_onehot)
+                if float(bnorm) < _BREAKDOWN * 10 or m >= n:
                     break
-            m += 1
 
         # Rayleigh-Ritz on the active m x m block
         mm = min(m, ncv)
@@ -380,16 +449,18 @@ def _step_real(ops, Vre, onehot, mask):
 def _insert_real(ops, Vre, rr, mask, row_onehot):
     import jax.numpy as jnp
 
-    Vre, _, b = ops.insert_random(Vre, jnp.zeros((1, 1)), jnp.asarray(rr),
-                                  jnp.zeros(Vre.shape[1]), mask, row_onehot)
+    Vre, _, b = ops.insert_random(Vre, jnp.zeros((1, 1)),
+                                  jnp.asarray(rr, Vre.dtype),
+                                  jnp.zeros(Vre.shape[1], Vre.dtype),
+                                  mask, row_onehot)
     return Vre, None, b
 
 
 def _compact(ops, Vre, Vim, Spad, onehot, complex_vec):
     import jax.numpy as jnp
 
-    Sre = jnp.asarray(Spad.real)
-    Sim = jnp.asarray(Spad.imag)
+    Sre = jnp.asarray(Spad.real, Vre.dtype)
+    Sim = jnp.asarray(Spad.imag, Vre.dtype)
     Yre, Yim = ops.compact(Vre, Vim if Vim is not None else jnp.zeros((1, 1)),
                            Sre, Sim, onehot)
     return Yre, Yim

