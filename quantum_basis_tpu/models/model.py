@@ -49,6 +49,19 @@ class Sector:
         self.evecs: list = []   # keeps per-sector arrays, src/model.cc:75-103)
 
 
+def _bind_project_host(proj, mask_np):
+    """Host projection for solver start/injection vectors: QN mask then P_k."""
+
+    def ph(re, im):
+        re = re * mask_np
+        im = im * mask_np if im is not None else None
+        if proj.complex_phases and im is None:
+            im = np.zeros_like(re)
+        return proj.apply_host(re, im)
+
+    return ph
+
+
 class Model:
     def __init__(self, lattice=None, n_secs: int = 5):
         self.lattice = lattice
@@ -237,6 +250,114 @@ class Model:
             op = FullSpaceOp(self.compiled_Ham, sector.labels)
         elif supports_contract(self.compiled_Ham):
             op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
+        cache[dtype] = op
+        return op
+
+    def _qn_mask_device(self, dtype):
+        """0/1 quantum-number sector mask over the full label space, built
+        elementwise ON DEVICE from the conserved diagonal operators (no
+        host->device transfer of label-space arrays — those cost tens of
+        seconds over a tunneled chip). Uses the conserve list recorded by
+        enumerate_basis_repr."""
+        import jax
+        import jax.numpy as jnp
+
+        from quantum_basis_tpu.basis.enumerate import _QN_TOL
+        from quantum_basis_tpu.ops.compile import compile_diagonal
+
+        conserve_lst, val_lst = getattr(self, "_repr_conserve", ([], []))
+        N = int(self.space.label_space)
+        if not conserve_lst:
+            return jnp.ones(N, dtype)
+        evals = [compile_diagonal(m, self.space) for m in conserve_lst]
+        vals = [float(v) for v in val_lst]
+        C = min(N, 1 << 20)
+        nb = (N + C - 1) // C
+        space = self.space
+
+        def chunk(start):
+            lab = start + jax.lax.broadcasted_iota(jnp.int64, (C, 1), 0)[:, 0]
+            V = space.decode(lab)
+            ok = lab < N
+            for ev, v in zip(evals, vals):
+                ok = ok & (jnp.abs(ev(V) - v) < _QN_TOL)
+            return ok.astype(dtype)
+
+        def build():
+            starts = jnp.arange(nb, dtype=jnp.int64) * C
+            return jax.lax.map(chunk, starts).reshape(-1)[:N]
+
+        return jax.jit(build)()
+
+    def _qn_mask_host(self) -> np.ndarray:
+        """numpy twin of the QN mask (for solver injection projection).
+        Built from the materialized sector labels when available (direct
+        repr method); otherwise pulled from the device mask."""
+        N = int(self.space.label_space)
+        cache = self._repr_cache
+        conserve_lst, _ = getattr(self, "_repr_conserve", ([], []))
+        if not conserve_lst:
+            return np.ones(N)
+        if cache is not None and cache[1] is not None \
+                and cache[1] is not cache[2]:
+            m = np.zeros(N)
+            m[cache[1]] = 1.0
+            return m
+        import jax.numpy as jnp
+
+        return np.asarray(self._qn_mask_device(jnp.float64))
+
+    def _fullspace_repr_op(self, sector, max_blowup: float = 256.0,
+                           dtype=None):
+        """Momentum-sector solve operator in the FULL label space:
+        P_k H with the fast full-space engine + the roll/transpose momentum
+        projector (ops/translate_fullspace.py). None when unsupported (tilted
+        lattices, oversized blowup, engine constraints) — callers then fall
+        back to the gather-bound ELL repr path. Cached per dtype.
+
+        The blowup budget is larger than the full-sector path's because the
+        alternative (ELL gathers) is ~2 orders of magnitude slower per nnz.
+        """
+        import jax.numpy as jnp
+
+        from quantum_basis_tpu.ops.apply_contract import (ContractOp,
+                                                          supports_contract)
+        from quantum_basis_tpu.ops.apply_fullspace import (FullSpaceOp,
+                                                           supports_fullspace)
+        from quantum_basis_tpu.ops.translate_fullspace import (
+            MomentumProjector, ProjectedFullOp, RollTranslations)
+
+        dtype = jnp.dtype(dtype or jnp.float64)
+        cache = getattr(sector, "_fsrepr_cache", None)
+        if cache is None:
+            cache = sector._fsrepr_cache = {}
+        if dtype in cache:
+            return cache[dtype]
+        op = None
+        if self.space.label_space <= max_blowup * max(sector.dim, 1):
+            rolls = getattr(self, "_rolls", False)
+            if rolls is False:
+                rolls = None
+                if RollTranslations.supported(self.space, self.lattice):
+                    rolls = RollTranslations(self.space, self.lattice)
+                self._rolls = rolls
+            base = None
+            if rolls is not None:
+                if dtype == jnp.dtype(jnp.float32):
+                    if supports_contract(self.compiled_Ham):
+                        base = ContractOp(self.compiled_Ham, dtype=dtype)
+                elif supports_fullspace(self.compiled_Ham):
+                    base = FullSpaceOp(self.compiled_Ham)
+                elif supports_contract(self.compiled_Ham):
+                    base = ContractOp(self.compiled_Ham, dtype=dtype)
+            if base is not None:
+                base.mask = self._qn_mask_device(
+                    dtype if dtype == jnp.dtype(jnp.float32)
+                    else jnp.float64)
+                proj = MomentumProjector(rolls, sector.momentum, dtype=dtype)
+                op = ProjectedFullOp(base, proj)
+                mh = self._qn_mask_host()
+                op.project_host = _bind_project_host(proj, mh)
         cache[dtype] = op
         return op
 
@@ -567,6 +688,7 @@ class Model:
                 reps = enumerate_reps(self.tset, labels)
             self._repr_cache = (key, labels, reps)
         _, labels, reps = self._repr_cache
+        self._repr_conserve = (list(conserve_lst or []), list(val_lst or []))
 
         s = Sector()
         rbasis = ReprBasis(self.space, self.tset, labels, momentum,
@@ -910,12 +1032,39 @@ class Model:
         if done is not None:
             evals, vecs = done
         else:
-            evals, vecs = eigs_smallest(
-                self._repr_ell(sector), sector.dim, nev=nev,
-                ncv=max(12, 2 * nev + 6),
-                maxit=maxit, seed=seed, complex_vec=True,
-                ckpt_key=key + "_krylov",
-            )
+            from quantum_basis_tpu import config
+
+            fs = self._fullspace_repr_op(sector)
+            ncv_ = max(12, 2 * nev + 6)
+            if fs is not None:
+                # momentum-filtered full-space solve (the fast repr path,
+                # ops/translate_fullspace.py) with optional f32 bulk stage
+                import jax.numpy as jnp
+
+                v0 = None
+                if config.mixed_precision:
+                    fs32 = self._fullspace_repr_op(sector, dtype=jnp.float32)
+                    if fs32 is not None:
+                        _, v32 = eigs_smallest(
+                            fs32, fs32.N, nev=nev, ncv=ncv_, maxit=maxit,
+                            seed=seed, complex_vec=fs32.is_complex,
+                            tol=config.mixed_precision_f32_tol,
+                        )
+                        if v32:
+                            v0 = v32[0]
+                evals, vecs_full = eigs_smallest(
+                    fs, fs.N, nev=nev, ncv=ncv_, maxit=maxit, seed=seed,
+                    complex_vec=fs.is_complex, ckpt_key=key + "_krylov",
+                    v0=v0,
+                )
+                vecs = [sector.dbasis.from_full(v) for v in vecs_full]
+            else:
+                evals, vecs = eigs_smallest(
+                    self._repr_ell(sector), sector.dim, nev=nev,
+                    ncv=ncv_,
+                    maxit=maxit, seed=seed, complex_vec=True,
+                    ckpt_key=key + "_krylov",
+                )
             self._ckpt_stage_save(key, evals, vecs)
         self.eigenvals_repr = evals[:nev]
         self.eigenvecs_repr = vecs[:max(ncv, 1)]

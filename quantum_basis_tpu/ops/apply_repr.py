@@ -101,6 +101,26 @@ class ReprBasis:
 
         return jnp.pad(x, (0, self.pad)).reshape(self.n_blocks, self.block_rows)
 
+    def from_full(self, x_full):
+        """Repr coefficients of a full-label-space sector-k vector.
+
+        A normalized |psi> with P_k|psi> = |psi> expands over the repr basis
+        |r,k> = P_k|r>/sqrt(nu_r) as c_r = <r,k|psi> = psi[r]/sqrt(nu_r) —
+        one gather at the representative labels (see
+        ops/translate_fullspace.py). Returns a normalized split-complex pair.
+        """
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(self.labels_np)
+        w = jnp.asarray(1.0 / np.sqrt(self.nus))
+        re, im = x_full
+        cr = re[idx].astype(jnp.float64) * w
+        ci = im[idx].astype(jnp.float64) * w if im is not None else None
+        nrm = jnp.sqrt(jnp.vdot(cr, cr) + (jnp.vdot(ci, ci)
+                                           if ci is not None else 0.0))
+        inv = 1.0 / jnp.maximum(nrm, 1e-300)
+        return (cr * inv, ci * inv if ci is not None else None)
+
 
 class MatvecRepr:
     """y = H x in a momentum sector; split-complex, matrix-free."""

@@ -178,6 +178,11 @@ class DeflatedMatvec:
         self.vecs = tuple((v[0], v[1]) for v in vecs)
         self.sigma = float(sigma)
         self.is_complex = getattr(base, "is_complex", False)
+        self.dtype = getattr(base, "dtype", None)
+        # forward sector projection so deflate-verify restarts stay in-sector
+        ph = getattr(base, "project_host", None)
+        if ph is not None:
+            self.project_host = ph
 
     @property
     def params(self):
@@ -279,19 +284,27 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     rows = ncv + 1
     Hm = np.zeros((rows, rows), dtype=np.complex128)
 
+    phost = getattr(matvec, "project_host", None)
+
     def _proj(re, im):
         """Project injected random vectors onto the sector support (used by
         the full-space engine, where out-of-sector noise must never enter
-        the Krylov space)."""
-        if mask is None:
+        the Krylov space). When the matvec carries a ``project_host`` (the
+        momentum-sector full-space path), it subsumes the mask."""
+        if phost is not None:
+            re, im = phost(re, im)
+        elif mask is not None:
+            mnp = np.asarray(mask)
+            re = re * mnp
+            if im is not None:
+                im = im * mnp
+        else:
             return re, im
-        mnp = np.asarray(mask)
-        re = re * mnp
-        nrm = np.sqrt(np.sum(re * re) + (np.sum((im * mnp) ** 2)
-                                         if im is not None else 0.0))
+        nrm = np.sqrt(np.sum(re * re)
+                      + (np.sum(im * im) if im is not None else 0.0))
         re = re / max(nrm, 1e-300)
         if im is not None:
-            im = im * mnp / max(nrm, 1e-300)
+            im = im / max(nrm, 1e-300)
         return re, im
 
     ops = _DeviceOps(matvec, n, ncv, complex_vec)
