@@ -20,10 +20,9 @@ import os
 import sys
 import time
 
-try:  # installed package preferred; fall back to the repo tree
-    import quantum_basis_tpu  # noqa: F401
-except ImportError:
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:  # __graft_entry__ lives at the repo root
+    sys.path.insert(0, _ROOT)
 
 import numpy as np
 

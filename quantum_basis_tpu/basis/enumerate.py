@@ -17,6 +17,131 @@ from quantum_basis_tpu.ops.compile import compile_diagonal
 _QN_TOL = 1e-5  # quantum-number match tolerance (reference: basis.cc:1068)
 
 
+def _per_slot_tables(mopr, space):
+    """Decompose an additive diagonal Mopr into per-slot value tables.
+
+    Returns (tables, const) with ``tables[s][v]`` the slot-s contribution,
+    or None when a term couples several slots (non-separable — rare for
+    conserved quantities, which are sums of single-site operators)."""
+    tabs = [np.zeros(int(space.dims[s])) for s in range(space.n_slots)]
+    const = 0.0
+    for t in mopr.terms:
+        if t.q_identity():
+            const += complex(t.coeff).real
+            continue
+        slots = t.slots(space)
+        if len(slots) != 1:
+            return None
+        d = np.asarray(t.factors[0].mat)
+        if d.ndim != 1:
+            d = np.diagonal(d)
+        tabs[int(slots[0])] = tabs[int(slots[0])] \
+            + complex(t.coeff).real * d.real
+    return tabs, const
+
+
+def enumerate_basis_dnc(space: StateSpace, conserve_lst, val_lst,
+                        leaf: int = 1 << 22, tol: float = _QN_TOL):
+    """Combinatorial sector enumeration by divide-and-conquer over slots.
+
+    The chunked scan (below) is O(d^N) regardless of sector size — hopeless
+    at 3^31 (t-J on the 31-site cluster) or 4^16 (Fermi-Hubbard 4x4). For
+    ADDITIVE conserved quantities QN(label) = sum_s qn_s(v_s), partial sums
+    factorize over slot groups: enumerate each half of the slots bucketed
+    by partial QN (windowed by what the complement can still contribute),
+    then join complementary buckets — meet-in-the-middle, O(sector size +
+    sqrt-ish work), the same count-constrained recursion the reference's
+    basis generation performs per-site (src/basis.cc:998-1109) but
+    vectorized over whole slot groups. Returns None when any conserved
+    operator is not separable (caller falls back to the scan).
+    """
+    ops = []
+    for m, v in zip(conserve_lst, val_lst):
+        r = _per_slot_tables(m, space)
+        if r is None:
+            return None
+        tabs, const = r
+        ops.append((tabs, float(v) - const))
+    S = space.n_slots
+    dims = [int(d) for d in space.dims]
+    strides = [int(s) for s in space.strides]
+    nops = len(ops)
+    mins = np.array([[t[s].min() for s in range(S)] for (t, _) in ops])
+    maxs = np.array([[t[s].max() for s in range(S)] for (t, _) in ops])
+    targets = np.array([tv for (_, tv) in ops])
+
+    def window(a, b):
+        """Feasible partial-QN interval for slot group [a, b)."""
+        out = np.ones(S, dtype=bool)
+        out[a:b] = False
+        lo = targets - maxs[:, out].sum(axis=1) - tol
+        hi = targets - mins[:, out].sum(axis=1) + tol
+        return lo, hi
+
+    def bucketize(labels, qn):
+        key = np.round(qn * 4096.0).astype(np.int64)  # QNs are (half-)ints
+        out = {}
+        if labels.size == 0:
+            return out
+        order = np.lexsort(key)
+        key = key[:, order]
+        labels = labels[order]
+        qn = qn[:, order]
+        cuts = np.nonzero(np.any(np.diff(key, axis=1) != 0, axis=0))[0] + 1
+        starts = np.concatenate([[0], cuts, [labels.size]])
+        for i in range(starts.size - 1):
+            s0 = int(starts[i])
+            out[tuple(key[:, s0])] = (labels[starts[i]:starts[i + 1]],
+                                      qn[:, s0].copy())
+        return out
+
+    def rec(a, b):
+        """dict: quantized-QN tuple -> (partial labels, qn vector)."""
+        lo, hi = window(a, b)
+        size = int(np.prod([dims[s] for s in range(a, b)], dtype=np.int64))
+        if size <= leaf:
+            sub = np.arange(size, dtype=np.int64)
+            labels = np.zeros(size, dtype=np.int64)
+            qn = np.zeros((nops, size))
+            c = sub
+            for s in range(a, b):
+                dig = c % dims[s]
+                c = c // dims[s]
+                labels += dig * strides[s]
+                for i, (tabs, _) in enumerate(ops):
+                    qn[i] += tabs[s][dig]
+            keep = np.all((qn >= lo[:, None]) & (qn <= hi[:, None]), axis=0)
+            return bucketize(labels[keep], qn[:, keep])
+        mid = (a + b) // 2
+        left = rec(a, mid)
+        right = rec(mid, b)
+        if len(left) > len(right):  # iterate the smaller bucket set outside
+            left, right = right, left
+        out = {}
+        for kl, (ll, ql) in left.items():
+            for kr, (lr, qr) in right.items():
+                q = ql + qr
+                if np.any(q < lo - tol) or np.any(q > hi + tol):
+                    continue
+                lab = (ll[:, None] + lr[None, :]).ravel()
+                key = tuple(np.round(q * 4096.0).astype(np.int64))
+                if key in out:
+                    prev_lab, prev_q = out[key]
+                    out[key] = (np.concatenate([prev_lab, lab]), prev_q)
+                else:
+                    out[key] = (lab, q)
+        return out
+
+    top = rec(0, S)
+    keep = []
+    for _, (lab, q) in top.items():
+        if np.all(np.abs(q - targets) < tol):
+            keep.append(lab)
+    if not keep:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(keep))
+
+
 def enumerate_basis(
     space: StateSpace,
     conserve_lst=None,
@@ -28,6 +153,10 @@ def enumerate_basis(
     Parameters mirror ``model::enumerate_basis_full`` (reference:
     src/model.cc:253-271): ``conserve_lst`` is a list of diagonal Mopr,
     ``val_lst`` the target values. Returns sorted int64 labels (host array).
+
+    Label spaces beyond the scan cutoff route to the combinatorial
+    divide-and-conquer path (:func:`enumerate_basis_dnc`) when every
+    conserved quantity is a per-slot sum — O(sector), not O(d^N).
     """
     import jax
     import jax.numpy as jnp
@@ -38,11 +167,17 @@ def enumerate_basis(
         raise ValueError("conserve_lst and val_lst must have equal length")
 
     total = space.label_space
-    evals = [compile_diagonal(m, space) for m in conserve_lst]
     vals = [float(v) for v in val_lst]
 
-    if not evals:
+    if not conserve_lst:
         return np.arange(total, dtype=np.int64)
+
+    if total > (1 << 26):
+        labels = enumerate_basis_dnc(space, conserve_lst, val_lst)
+        if labels is not None:
+            return labels
+
+    evals = [compile_diagonal(m, space) for m in conserve_lst]
 
     chunk = int(min(chunk, total))
 

@@ -17,6 +17,17 @@ import jax
 # eagerly at import so every module traces with x64 semantics.
 jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS even when a site customization pre-registered another
+# platform plugin at interpreter start (which pins the platform and makes the
+# env var alone insufficient); config.update still wins before first backend
+# use. Without this, `JAX_PLATFORMS=cpu python driver.py` on a TPU host
+# silently dispatches to the (possibly tunneled, slow) accelerator.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialized: too late, keep going
+        pass
+
 import numpy as np  # noqa: E402
 
 # Numerical tolerances (reference: src/miscellaneous.cc:44-47).

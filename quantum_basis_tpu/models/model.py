@@ -572,7 +572,7 @@ class Model:
         return complex(float(re), 0.0 if im is None else float(im))
 
     def measure_full_dynamic(self, A, sec_old: int, sec_new: int, m_steps: int,
-                             which: int = 0):
+                             which: int = 0, ckpt_key=None):
         """Continued-fraction data for G_A(z) = <phi|A† (z-H)^{-1} A|phi>.
 
         Returns (norm, alphas, betas): |v> = A|phi>, norm = ||v||, then a
@@ -587,8 +587,53 @@ class Model:
         if nrm < 1e-12:  # A|phi> vanishes (reference: src/model.cc:1704-1706)
             return 0.0, np.zeros(0), np.zeros(0)
         v = cx.scale(v, 1.0 / nrm)
-        alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
+        alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps,
+                                         ckpt_key=ckpt_key)
         return nrm, alphas, betas
+
+    def measure_full_dynamic_kpm(self, A, sec_old: int, sec_new: int,
+                                 n_moments: int, which: int = 0, bounds=None):
+        """Operator-resolved KPM data for the dynamical structure factor.
+
+        |v> = A|phi>, norm = ||v||, then Chebyshev moments
+        mu_m = <v| T_m(Hs) |v> / norm^2 on the TARGET sector's H — the KPM
+        counterpart of :meth:`measure_full_dynamic` (the reference has no
+        KPM dynamics; its src/kpm.cc:45-99 stops at spectral bounds).
+        Returns (norm, mu, e_min, e_max); reconstruct with
+        :func:`quantum_basis_tpu.postprocess.sqw_kpm`.
+        """
+        from quantum_basis_tpu.solvers.chebyshev import kpm_moments
+
+        src = self.sec_full[sec_old]
+        dst = self.sec_full[sec_new]
+        phi = src.evecs[which] if src.evecs else self.eigenvecs_full[which]
+        v = mopr_x_vec(self.compile_op(A), src.dbasis, dst.dbasis, phi)
+        nrm = float(cx.norm(v))
+        if nrm < 1e-12:
+            return 0.0, np.zeros(0), 0.0, 0.0
+        mu, e_min, e_max = kpm_moments(dst.matvec, v, n_moments,
+                                       bounds=bounds)
+        return nrm, mu, e_min, e_max
+
+    def measure_repr_dynamic_kpm(self, A, sec_old: int, sec_new: int,
+                                 n_moments: int, which: int = 0, bounds=None):
+        """KPM moments of A|phi> in momentum sectors (repr counterpart of
+        :meth:`measure_full_dynamic_kpm`; cf. model::measure_repr_dynamic,
+        src/model.cc:1896-1912, which only records continued fractions)."""
+        from quantum_basis_tpu.ops.apply_repr import mopr_x_vec_repr
+        from quantum_basis_tpu.solvers.chebyshev import kpm_moments
+
+        src = self.sec_repr[sec_old]
+        dst = self.sec_repr[sec_new]
+        phi = src.evecs[which] if src.evecs else self.eigenvecs_repr[which]
+        v = mopr_x_vec_repr(self.compile_op(self._coerce_mopr(A)),
+                            src.dbasis, dst.dbasis, phi)
+        nrm = float(cx.norm(v))
+        if nrm < 1e-12:
+            return 0.0, np.zeros(0), 0.0, 0.0
+        mu, e_min, e_max = kpm_moments(dst.matvec, v, n_moments,
+                                       bounds=bounds)
+        return nrm, mu, e_min, e_max
 
     def transform_vec_full(self, plan, sec: int, x):
         """y = U(plan) x with U|i> = sgn |plan(i)> — permutation action on a
@@ -793,7 +838,7 @@ class Model:
         return complex(out)
 
     def measure_repr_dynamic(self, A, sec_old: int, sec_new: int, m_steps: int,
-                             which: int = 0):
+                             which: int = 0, ckpt_key=None):
         """Continued-fraction data across momentum sectors.
 
         |v> = A |phi_{k}> lands in sector ``sec_new`` (momentum k - q for
@@ -809,7 +854,8 @@ class Model:
                             src.dbasis, dst.dbasis, phi)
         nrm = float(cx.norm(v))
         v = cx.scale(v, 1.0 / nrm)
-        alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps)
+        alphas, betas = lanczos_dynamics(dst.matvec, v, m_steps,
+                                         ckpt_key=ckpt_key)
         return nrm, alphas, betas
 
     # ----------------------------------------------- variational (vrnl) sector
@@ -989,10 +1035,23 @@ class Model:
         band: list[np.ndarray] = []
         import jax.numpy as jnp
 
+        from quantum_basis_tpu.utils.ckpt import active_store
+
+        store = active_store()  # per-k eigenvector disk cache, matching the
+        # reference's eigenvecs_[k].dat files (src/model.cc:2163-2187)
+
         base_momentum = s.momentum
         for idx, k in enumerate(momenta):
-            H = s.vmat.at_momentum(k)
-            evals, evecs = np.linalg.eigh(H)
+            ckey = ("wannier_vrnl_sec%d_dim%d_k%s"
+                    % (sec, s.dim, "_".join(f"{v:+.6f}" for v in k)))
+            rec = store.load(ckey) if store is not None else None
+            if rec is not None and rec["evecs"].shape[0] == s.dim:
+                evals, evecs = rec["evals"], rec["evecs"]
+            else:
+                H = s.vmat.at_momentum(k)
+                evals, evecs = np.linalg.eigh(H)
+                if store is not None:
+                    store.save(ckey, {"evals": evals, "evecs": evecs})
             s.momentum = k
             s.evals = evals[:nev].tolist()
             s.evecs = [(jnp.asarray(evecs[:, i].real.copy()),

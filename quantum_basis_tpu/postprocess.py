@@ -33,6 +33,28 @@ def spectral_function(omegas, norm, alphas, betas, E0: float,
     return -G.imag / np.pi
 
 
+def sqw_kpm(omegas, norm, mu, e_min: float, e_max: float,
+            E0: float) -> np.ndarray:
+    """S(q, w) reconstructed from operator-resolved KPM moments.
+
+    ``(norm, mu, e_min, e_max)`` is the output of measure_*_dynamic_kpm:
+    S(q, w) = sum_n |<n|A|0>|^2 delta(w - (E_n - E0))
+            = norm^2 * rho_phi(E0 + w),
+    with rho_phi the Jackson-damped KPM density of phi-hat = A|0>/norm.
+    Resolution ~ pi * (e_max - e_min) / n_moments (Jackson kernel width).
+    The KPM alternative to :func:`spectral_function` (continued fraction) —
+    same physics, polynomially-broadened instead of Lorentzian.
+    """
+    from quantum_basis_tpu.solvers.chebyshev import kpm_density
+
+    omegas = np.asarray(omegas, dtype=np.float64)
+    mu = np.asarray(mu, dtype=np.float64)
+    if mu.size == 0 or norm == 0.0:
+        return np.zeros_like(omegas)
+    rho = kpm_density(mu, e_min, e_max, E0 + omegas)
+    return float(norm) ** 2 * rho
+
+
 def _agg_plt():
     import matplotlib
 

@@ -18,15 +18,26 @@ import numpy as np
 from quantum_basis_tpu.ops import cplx as cx
 
 
-def eigenvec_cg(matvec, E0: float, v0, maxit: int = 1000, tol: float = 2e-12):
+def eigenvec_cg(matvec, E0: float, v0, maxit: int = 1000, tol: float = 2e-12,
+                ckpt_key=None, ckpt_every: int = 500):
     """Refine v0 toward the E0 eigenvector.
 
     matvec follows the (params, apply) protocol; v0 is a split-complex cvec.
     Returns (v, residual_norm, iterations). The residual is
     ||(H - E0) v|| with ||v|| = 1 (the reference's `accu`).
+
+    With ``ckpt_key`` set and config.enable_ckpt, the run checkpoints every
+    ``ckpt_every`` iterations (reference: the CG branch of
+    src/ckpt.cc:343-516). Only the current iterate v and the count are
+    saved — on resume CG restarts its Krylov direction from v, which the
+    reference's own restart-on-renormalize logic does periodically anyway.
     """
     import jax
     import jax.numpy as jnp
+
+    from quantum_basis_tpu.utils.ckpt import active_store
+
+    store = active_store() if ckpt_key else None
 
     params = matvec.params
     complex_vec = v0[1] is not None
@@ -74,19 +85,53 @@ def eigenvec_cg(matvec, E0: float, v0, maxit: int = 1000, tol: float = 2e-12):
 
         return jax.lax.cond(gamma < tol, do_restart, do_step, None)
 
-    def cond(carry):
-        m, _, _, _, _, done = carry
-        return (~done) & (m < maxit)
+    m_start = 0
+    if store is not None:
+        rec = store.load(ckpt_key)
+        if rec is not None and rec["v_re"].shape == np.asarray(v0[0]).shape:
+            m_start = int(rec["m"])
+            v0 = (jnp.asarray(rec["v_re"]),
+                  jnp.asarray(rec["v_im"]) if complex_vec else None)
 
     v0p = as_pair((v0[0], v0[1]))
     v, r, p, gamma = restart(v0p)
-    init = (jnp.asarray(1), v, r, p, gamma, jnp.asarray(False))
+    init = (jnp.asarray(m_start + 1), v, r, p, gamma, jnp.asarray(False))
 
     @jax.jit
-    def run(init):
+    def run(init, m_end):
+        def cond(carry):
+            m, _, _, _, _, done = carry
+            return (~done) & (m < m_end)
+
         return jax.lax.while_loop(cond, body, init)
 
-    m, v, r, p, gamma, _ = run(init)
+    def save_state(m_now, vc):
+        store.save(ckpt_key, {
+            "m": m_now, "E0": float(E0),
+            "v_re": np.asarray(vc[0]),
+            "v_im": (np.asarray(vc[1]) if complex_vec else np.zeros(1)),
+        })
+
+    carry = init
+    while True:
+        m_end = maxit if store is None else min(
+            int(carry[0]) + ckpt_every, maxit)
+        carry = run(carry, jnp.asarray(m_end))
+        m_now, done = int(carry[0]), bool(carry[5])
+        if done or m_now >= maxit:
+            if store is not None and not done:
+                save_state(m_now, carry[1])  # unconverged: keep for resume
+            break
+        if store is not None:
+            save_state(m_now, carry[1])
+            # resuming restarts the direction: do the same now so the saved
+            # and in-memory trajectories agree (deterministic replay)
+            v, r, p, gamma = restart(carry[1])
+            carry = (carry[0], v, r, p, gamma, carry[5])
+
+    m, v, r, p, gamma, done_flag = carry
+    if store is not None and bool(done_flag):
+        store.delete(ckpt_key)
     rn = cx.norm(v)
     v = cx.scale(v, 1.0 / float(rn))
     res = float(cx.norm(hs(v)))

@@ -58,19 +58,15 @@ def _project_out(w, deflate):
     return w
 
 
-def _make_cycle(matvec, inner: int):
-    """jit one Lanczos cycle: ``inner`` steps collecting (a, b) coefficients,
-    and the fused second pass accumulating y = sum_m s_m v_m.
+def _make_step(mv_apply):
+    """The 2-vector Lanczos recurrence step shared by all drivers.
 
     Each step re-orthogonalizes w against the cycle's start vector (the
     "anchor"): once the ground state converges, orthogonality loss is
     concentrated along the dominant Ritz direction — which, after the first
     restart, IS the start vector — so this one extra dot+axpy per step
     suppresses the classic Paige drift at 2-vector memory cost."""
-    import jax
     import jax.numpy as jnp
-
-    mv_apply, _ = _mv_protocol(matvec)
 
     def step(carry, _):
         v_prev, v_cur, b_prev, anchor, deflate, params = carry
@@ -83,6 +79,18 @@ def _make_cycle(matvec, inner: int):
         inv = jnp.where(b > _TINY, 1.0 / jnp.maximum(b, _TINY), 0.0)
         v_next = cx.scale(w, inv)
         return (v_cur, v_next, b, anchor, deflate, params), (a, b)
+
+    return step
+
+
+def _make_cycle(matvec, inner: int):
+    """jit one Lanczos cycle: ``inner`` steps collecting (a, b) coefficients,
+    and the fused second pass accumulating y = sum_m s_m v_m."""
+    import jax
+    import jax.numpy as jnp
+
+    mv_apply, _ = _mv_protocol(matvec)
+    step = _make_step(mv_apply)
 
     def first_pass(v0, deflate, params):
         carry = (cx.zeros_like(v0), v0, 0.0, v0, tuple(deflate), params)
@@ -224,17 +232,92 @@ def lanczos_ground(
     return out
 
 
-def lanczos_dynamics(matvec, v_start, m_steps: int):
+def lanczos_dynamics(matvec, v_start, m_steps: int, ckpt_key=None,
+                     ckpt_chunk: int = 64):
     """Fixed-step Lanczos recording (alphas, betas) — the "dnmcs" mode used
     for continued-fraction dynamical correlation functions
     (reference: model::measure_full_dynamic, src/model.cc:1696-1712).
 
     ``v_start`` must be normalized by the caller (its norm enters S(q,w)).
+    With ``ckpt_key`` set and config.enable_ckpt, the run checkpoints every
+    ``ckpt_chunk`` steps — the carried state is just (v_prev, v_cur, b) plus
+    the coefficients so far, the same record the reference's "dnmcs"
+    checkpoint writes (src/ckpt.cc:13-340) — and resumes mid-run.
     """
-    first_pass, _ = _make_cycle(matvec, m_steps)
-    mv_params = _mv_protocol(matvec)[1]
-    a_arr, b_arr = first_pass(v_start, (), mv_params)
-    return np.asarray(a_arr), np.asarray(b_arr)
+    from quantum_basis_tpu.utils.ckpt import active_store
+
+    store = active_store() if ckpt_key else None
+    if store is None:
+        first_pass, _ = _make_cycle(matvec, m_steps)
+        mv_params = _mv_protocol(matvec)[1]
+        a_arr, b_arr = first_pass(v_start, (), mv_params)
+        return np.asarray(a_arr), np.asarray(b_arr)
+
+    import jax
+    import jax.numpy as jnp
+
+    mv_apply, mv_params = _mv_protocol(matvec)
+    step = _make_step(mv_apply)
+
+    def chunk_run(v_prev, v_cur, b_prev, anchor, params, nsteps):
+        carry = (v_prev, v_cur, b_prev, anchor, (), params)
+        carry, (a, b) = jax.lax.scan(step, carry, None, length=nsteps)
+        return carry[0], carry[1], carry[2], a, b
+
+    runs = {}  # one jit per distinct chunk length (at most two)
+
+    def run_chunk(v_prev, v_cur, b_prev, anchor, nsteps):
+        if nsteps not in runs:
+            runs[nsteps] = jax.jit(
+                lambda vp, vc, bp, an, pp: chunk_run(vp, vc, bp, an, pp,
+                                                     nsteps))
+        return runs[nsteps](v_prev, v_cur, b_prev, anchor, mv_params)
+
+    complex_vec = v_start[1] is not None
+
+    def pack(v):
+        return (np.asarray(v[0]),
+                np.asarray(v[1]) if v[1] is not None else np.zeros(1))
+
+    def unpack(re, im):
+        return (jnp.asarray(re), jnp.asarray(im) if complex_vec else None)
+
+    k0 = 0
+    alphas = np.zeros(0)
+    betas = np.zeros(0)
+    v_prev = cx.zeros_like(v_start)
+    v_cur = v_start
+    b_prev = 0.0
+    rec = store.load(ckpt_key)
+    if rec is not None and rec["v_cur_re"].shape == np.asarray(
+            v_start[0]).shape and int(rec["m_steps"]) == m_steps:
+        k0 = int(rec["k"])
+        alphas = np.asarray(rec["alphas"])
+        betas = np.asarray(rec["betas"])
+        v_prev = unpack(rec["v_prev_re"], rec["v_prev_im"])
+        v_cur = unpack(rec["v_cur_re"], rec["v_cur_im"])
+        b_prev = float(rec["b_prev"])
+
+    k = k0
+    while k < m_steps:
+        n = min(ckpt_chunk, m_steps - k)
+        v_prev, v_cur, b_dev, a_arr, b_arr = run_chunk(
+            v_prev, v_cur, b_prev, v_start, n)
+        b_prev = float(b_dev)
+        alphas = np.concatenate([alphas, np.asarray(a_arr)])
+        betas = np.concatenate([betas, np.asarray(b_arr)])
+        k += n
+        if k < m_steps:
+            pr, pi = pack(v_prev)
+            cr, ci = pack(v_cur)
+            store.save(ckpt_key, {
+                "k": k, "m_steps": m_steps, "b_prev": b_prev,
+                "alphas": alphas, "betas": betas,
+                "v_prev_re": pr, "v_prev_im": pi,
+                "v_cur_re": cr, "v_cur_im": ci,
+            })
+    store.delete(ckpt_key)
+    return alphas, betas
 
 
 def energy_scale(matvec, v0, m_steps: int = 128, slack: float = 0.1):

@@ -88,3 +88,81 @@ def test_model_stage_checkpoint(tmp_path, monkeypatch):
     m2.enumerate_basis_full([ops2["Sz"]], [0.0])
     m2.locate_E0_lanczos("full", nev=1, ncv=1)
     assert m2.eigenvals_full[0] == E0_first
+
+def test_cg_resume(tmp_path, monkeypatch):
+    """eigenvec_cg: interrupt via maxit, resume from the saved iterate."""
+    monkeypatch.setattr(config, "enable_ckpt", True)
+    monkeypatch.setattr(config, "ckpt_dir", str(tmp_path))
+
+    from quantum_basis_tpu.solvers.cg import eigenvec_cg
+    from quantum_basis_tpu.utils.rng import vec_randomize
+    from test_solvers import _chain_setup
+
+    mv, Hd, n = _chain_setup(10)
+    w, V = np.linalg.eigh(Hd)
+    E0 = float(w[0])
+    import jax.numpy as jnp
+
+    re, _ = vec_randomize(n, seed=3)
+    # bias the start toward the eigenvector so CG (a refiner) converges
+    v0 = 0.2 * re / np.linalg.norm(re) + V[:, 0]
+    v0 = (jnp.asarray(v0 / np.linalg.norm(v0)), None)
+
+    # interrupted run: checkpoint every 5 iters, stop at 12
+    v_mid, res_mid, m_mid = eigenvec_cg(mv, E0, v0, maxit=12, tol=1e-11,
+                                        ckpt_key="cg_test", ckpt_every=5)
+    assert res_mid > 1e-11  # genuinely unconverged
+    rec = CkptStore(str(tmp_path)).load("cg_test")
+    assert rec is not None and int(rec["m"]) >= 5
+
+    # resume: continues from the saved iterate and converges
+    v, res, m_total = eigenvec_cg(mv, E0, v0, maxit=3000, tol=1e-11,
+                                  ckpt_key="cg_test", ckpt_every=500)
+    assert res < 1e-9
+    overlap = abs(np.vdot(np.asarray(v[0]), V[:, 0]))
+    assert overlap > 1.0 - 1e-8
+    assert m_total > int(rec["m"])  # the count carried over
+    assert CkptStore(str(tmp_path)).load("cg_test") is None  # cleaned up
+
+
+def test_lanczos_dynamics_resume(tmp_path, monkeypatch):
+    """Dynamics a/b recording: crash after a mid-run checkpoint, resume,
+    coefficients identical to an uninterrupted run."""
+    monkeypatch.setattr(config, "enable_ckpt", True)
+    monkeypatch.setattr(config, "ckpt_dir", str(tmp_path))
+
+    import jax.numpy as jnp
+
+    import quantum_basis_tpu.utils.ckpt as ckpt_mod
+    from quantum_basis_tpu.solvers.lanczos import lanczos_dynamics
+    from quantum_basis_tpu.utils.rng import vec_randomize
+    from test_solvers import _chain_setup
+
+    mv, Hd, n = _chain_setup(10)
+    re, _ = vec_randomize(n, seed=7)
+    v0 = (jnp.asarray(re / np.linalg.norm(re)), None)
+
+    a_ref, b_ref = lanczos_dynamics(mv, v0, 24)
+
+    class CrashingStore(CkptStore):
+        saves = 0
+
+        def save(self, key, payload):
+            super().save(key, payload)
+            CrashingStore.saves += 1
+            if CrashingStore.saves == 2:
+                raise RuntimeError("simulated crash after checkpoint")
+
+    monkeypatch.setattr(ckpt_mod, "active_store",
+                        lambda: CrashingStore(str(tmp_path)))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lanczos_dynamics(mv, v0, 24, ckpt_key="dyn_test", ckpt_chunk=8)
+    rec = CkptStore(str(tmp_path)).load("dyn_test")
+    assert rec is not None and int(rec["k"]) == 16
+
+    monkeypatch.setattr(ckpt_mod, "active_store",
+                        lambda: CkptStore(str(tmp_path)))
+    a, b = lanczos_dynamics(mv, v0, 24, ckpt_key="dyn_test", ckpt_chunk=8)
+    np.testing.assert_allclose(a, a_ref, atol=1e-9)
+    np.testing.assert_allclose(b, b_ref, atol=1e-9)
+    assert CkptStore(str(tmp_path)).load("dyn_test") is None

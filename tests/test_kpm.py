@@ -51,3 +51,105 @@ def test_jackson_kernel_normalization():
     g = jackson_kernel(32)
     assert abs(g[0] - 1.0) < 1e-12
     assert np.all(np.diff(g) < 1e-12)  # monotone damping
+
+
+# ---------------------------------------------------------------------------
+# Operator-resolved KPM: dynamical structure factor S(q, w)
+# ---------------------------------------------------------------------------
+
+
+def _sz_q(L, q):
+    from quantum_basis_tpu import Mopr, Opr
+    from tests.models_zoo import SP_HALF
+
+    out = Mopr()
+    for x in range(L):
+        out += (np.exp(-1j * 2 * np.pi * q * x / L) / np.sqrt(L)) * Opr(
+            x, 0, False, SP_HALF["Sz"])
+    return out
+
+
+def test_sqw_kpm_moments_match_exact():
+    """Operator-resolved moments mu_m = <phi|T_m(Hs)|phi>/||phi||^2 against
+    the dense-diagonalization oracle at solver accuracy."""
+    from tests.oracles import mopr_dense, restrict
+
+    L = 8
+    q = 2
+    m, s, evals = _setup(L)
+    m.locate_E0_lanczos(nev=1, ncv=1)
+    E0 = m.eigenvals_full[0]
+    Aq = _sz_q(L, q)
+
+    # exact: phi = A |gs> in the dense sector basis
+    sec = m.sec_full[0]
+    H = dense_matrix(m.compiled_Ham, sec.labels).real
+    w, V = np.linalg.eigh(H)
+    gs = V[:, 0]
+    A = restrict(mopr_dense(m.space, Aq), sec.labels)
+    phi = A @ gs
+    nrm_exact = np.linalg.norm(phi)
+    lo, hi = w[0] - 0.3, w[-1] + 0.3
+    c, d = (hi + lo) / 2, (hi - lo) / 2
+    xk = np.clip((w - c) / d, -1, 1)
+    ck2 = np.abs(V.conj().T @ phi) ** 2 / nrm_exact**2
+    n_mom = 24
+    mu_exact = np.array([np.sum(ck2 * np.cos(k * np.arccos(xk)))
+                         for k in range(n_mom)])
+
+    nrm, mu, e_min, e_max = m.measure_full_dynamic_kpm(
+        Aq, 0, 0, n_mom, bounds=(lo, hi))
+    assert abs(nrm - nrm_exact) < 1e-8
+    assert (e_min, e_max) == (lo, hi)
+    np.testing.assert_allclose(mu, mu_exact, atol=1e-7)
+
+
+def test_sqw_kpm_sum_rule_and_contfrac_crosscheck():
+    """Reconstructed S(q,w): integral = ||A|gs>||^2 (sum rule); cumulative
+    weight agrees with the exact spectrum and the continued-fraction S(q,w)
+    at gap midpoints (where any symmetric broadening has fully risen —
+    comparing mid-peak would measure kernel shape, not physics)."""
+    from tests.oracles import mopr_dense, restrict
+
+    from quantum_basis_tpu.postprocess import spectral_function, sqw_kpm
+
+    L = 8
+    q = 3
+    m, s, evals = _setup(L)
+    m.locate_E0_lanczos(nev=1, ncv=1)
+    E0 = float(m.eigenvals_full[0])
+    Aq = _sz_q(L, q)
+
+    nrm, mu, e_min, e_max = m.measure_full_dynamic_kpm(Aq, 0, 0, 192)
+    omegas = np.linspace(e_min - E0 + 1e-3, e_max - E0 - 1e-3, 4000)
+    S = sqw_kpm(omegas, nrm, mu, e_min, e_max, E0)
+    dw = omegas[1] - omegas[0]
+    total = np.trapezoid(S, omegas)
+    assert abs(total - nrm**2) < 0.02 * nrm**2, (total, nrm**2)
+
+    # exact cumulative weight from the dense oracle
+    sec = m.sec_full[0]
+    H = dense_matrix(m.compiled_Ham, sec.labels).real
+    w, V = np.linalg.eigh(H)
+    A = restrict(mopr_dense(m.space, Aq), sec.labels)
+    wts = np.abs(V.conj().T @ (A @ V[:, 0])) ** 2
+    keep = wts > 1e-6 * wts.sum()
+    wn = w[keep] - E0
+    # checkpoints midway between well-separated excitation clusters
+    order = np.argsort(wn)
+    wn_s = wn[order]
+    gaps = np.nonzero(np.diff(wn_s) > 0.8)[0]
+    checks = [(wn_s[i] + wn_s[i + 1]) / 2 for i in gaps]
+    assert len(checks) >= 2
+
+    def cum_exact(x):
+        return float(wts[keep][wn <= x].sum())
+
+    cum = np.cumsum(S) * dw
+    nrm_cf, a, b = m.measure_full_dynamic(Aq, 0, 0, 30)
+    S_cf = spectral_function(omegas, nrm_cf, a, b, E0, eta=0.05)
+    cum_cf = np.cumsum(S_cf) * dw
+    for x in checks:
+        i = int(np.searchsorted(omegas, x))
+        assert abs(cum[i] - cum_exact(x)) < 0.03 * nrm**2, (x, cum[i])
+        assert abs(cum_cf[i] - cum_exact(x)) < 0.05 * nrm**2, (x, cum_cf[i])

@@ -64,3 +64,59 @@ def test_postprocess_plots(tmp_path):
     plot_lattice(lat, str(tmp_path / "latt.png"), bonds=[(0, 1)])
     plot_convergence([(1, 1e-2), (2, 1e-5), (3, 1e-9)],
                      str(tmp_path / "conv.png"))
+
+
+def test_enumerate_dnc_matches_scan():
+    """Divide-and-conquer combinatorial enumeration == chunked scan."""
+    from quantum_basis_tpu.basis.enumerate import (enumerate_basis,
+                                                   enumerate_basis_dnc)
+    from models_zoo import heisenberg_chain, kagome_tj
+
+    m, c = heisenberg_chain(14)
+    a = enumerate_basis(m.space, [c["Sz"]], [1.0])
+    b = enumerate_basis_dnc(m.space, [c["Sz"]], [1.0])
+    np.testing.assert_array_equal(a, b)
+
+    m, o = kagome_tj(2, 2)  # two conserved quantities, dim-3 sites, fermions
+    a = enumerate_basis(m.space, [o["N"], o["Sz"]], [8.0, 0.0])
+    b = enumerate_basis_dnc(m.space, [o["N"], o["Sz"]], [8.0, 0.0])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_enumerate_dnc_huge_label_space():
+    """3^31 label space (31-site t-J): O(sector) enumeration, exact count
+    C(31,1)*C(30,1) for one up + one down electron."""
+    from quantum_basis_tpu.basis.enumerate import enumerate_basis
+    from quantum_basis_tpu.basis.site_basis import SiteBasis
+    from quantum_basis_tpu.basis.state import StateSpace
+    from quantum_basis_tpu import Mopr, Opr
+
+    cu_m = np.array([[0, 1, 0], [0, 0, 0], [0, 0, 0.0]])
+    cd_m = np.array([[0, 0, 1], [0, 0, 0], [0, 0, 0.0]])
+    space = StateSpace([(SiteBasis.named("tJ"), 31)])
+    N_tot, Sz_tot = Mopr(), Mopr()
+    for s in range(31):
+        cu, cd = Opr(s, 0, True, cu_m), Opr(s, 0, True, cd_m)
+        N_tot += cu.dagger() * cu + cd.dagger() * cd
+        Sz_tot += 0.5 * (cu.dagger() * cu) - 0.5 * (cd.dagger() * cd)
+    lab = enumerate_basis(space, [N_tot, Sz_tot], [2.0, 0.0])
+    assert lab.size == 31 * 30
+    assert lab.dtype == np.int64 and np.all(np.diff(lab) > 0)  # sorted unique
+
+
+def test_enumerate_dnc_nonseparable_falls_back():
+    """A two-site diagonal conserved op is not separable: dnc returns None
+    and enumerate_basis falls back to the scan (small space here)."""
+    from quantum_basis_tpu.basis.enumerate import (enumerate_basis,
+                                                   enumerate_basis_dnc)
+    from models_zoo import SP_HALF, heisenberg_chain
+    from quantum_basis_tpu import Mopr, Opr
+
+    m, c = heisenberg_chain(8)
+    zz = Mopr()
+    for x in range(8):
+        zz += Opr(x, 0, False, SP_HALF["Sz"]) * Opr((x + 1) % 8, 0, False,
+                                                    SP_HALF["Sz"])
+    assert enumerate_basis_dnc(m.space, [zz], [2.0]) is None
+    lab = enumerate_basis(m.space, [zz], [2.0])
+    assert lab.size == 2  # all-up and all-down (each: sum SzSz = 8/4)

@@ -294,3 +294,40 @@ def test_vrnl_static_measurement():
     m.locate_E0_lanczos(which="vrnl", nev=1, ncv=1)
     val = m.measure_vrnl_static(cons["Sz"], 0, 0)
     assert abs(val - (0.5 * L - 2.0)) < 1e-9
+
+
+def test_wannier_mat_per_k_disk_cache(tmp_path, monkeypatch):
+    """With checkpointing on, per-k eigen-solves are cached to disk: a rerun
+    must not call eigh again (reference: per-k eigenvector files,
+    src/model.cc:2163-2187)."""
+    from quantum_basis_tpu import config
+
+    monkeypatch.setattr(config, "enable_ckpt", True)
+    monkeypatch.setattr(config, "ckpt_dir", str(tmp_path))
+
+    L = 8
+    m, cons = _magnon_model(L)
+    space = m.space
+    gs_label = int(np.asarray(space.encode(np.zeros((1, space.n_slots),
+                                                    dtype=np.int64)))[0])
+    m.build_basis_vrnl(_seed_flip(space, L, [L // 2]), gs_label, [0.0],
+                       [0.0], depth=2, conserve_lst=[cons["Sz"]],
+                       val_lst=[0.5 * L - 1.0])
+    m.generate_Ham_sparse_vrnl(0)
+    Ar_list = [([float(r)], Opr(r, 0, False, SP_HALF["Sz"])) for r in range(L)]
+    momenta = [[kk / L] for kk in range(3)]
+    mu1 = m.wannier_mat_vrnl(Ar_list, momenta, lambda model, idx: 0, sec=0)
+    assert list(tmp_path.iterdir()), "no per-k cache files written"
+
+    real_eigh = np.linalg.eigh
+
+    def boom(*a, **k):
+        raise AssertionError("eigh re-ran despite per-k disk cache")
+
+    monkeypatch.setattr(np.linalg, "eigh", boom)
+    try:
+        mu2 = m.wannier_mat_vrnl(Ar_list, momenta, lambda model, idx: 0,
+                                 sec=0)
+    finally:
+        monkeypatch.setattr(np.linalg, "eigh", real_eigh)
+    np.testing.assert_allclose(mu2, mu1, atol=1e-12)
