@@ -265,7 +265,9 @@ def supports_contract(compiled: CompiledOperator,
         return False  # compiled before term_matrices existed
     plan = ContractPlan(compiled, max_window=max_window)
     for ti in plan.roll_terms:
-        _, _, _, _, w = compiled.term_matrices[ti]
+        slots, _, _, _, w = compiled.term_matrices[ti]
+        if len(set(int(s) for s in slots)) == 2:
+            continue  # pair-window path: no popcount constraint
         if np.any(w) and not _popcount_ok(space, w):
             return False
     return True
@@ -351,9 +353,50 @@ class ContractOp:
                             dtype=np.int64))
             self._frame_shape[f] = (N // P, P)  # (Q, P)
 
+        # ---- pair windows: 2-slot terms too far apart for any contiguous
+        # window in any frame (e.g. the x-wrap bonds of a 2xL lattice, whose
+        # two slots sit >window apart around the label circle in every
+        # rotation). Applied as ONE 5-axis einsum over
+        # x.reshape(A, d_hi, M, d_lo, L) — no label-derived index arrays, so
+        # nothing for XLA to hoist out of solver loops (hoisted per-pass
+        # iota math at N = 2^24 f64 was measured to OOM a 16G chip).
+        self._pairs = []
+        leftover = []
+        for ti in plan.roll_terms:
+            slots, dims, jstr, M, w = compiled.term_matrices[ti]
+            sup = sorted(set(int(s) for s in slots))
+            if len(sup) != 2:
+                leftover.append(ti)
+                continue
+            s_lo, s_hi = sup
+            d_lo, d_hi = int(space.dims[s_lo]), int(space.dims[s_hi])
+            L = int(space.strides[s_lo])
+            Mmid = int(space.strides[s_hi]) // (L * d_lo)
+            A = N // (int(space.strides[s_hi]) * d_hi)
+            # joint G over (hi, lo) with intra-support JW; out-of-support
+            # JW becomes an elementwise sign prefactor exactly as windows do
+            w_in = w.copy()
+            w_out = w.copy()
+            for s in np.nonzero(w)[0]:
+                (w_out if int(s) in sup else w_in)[s] = 0
+            G = _pair_G(space, slots, dims, jstr, M, w_in, s_lo, s_hi)
+            g_re = jnp.asarray(G.real, self.dtype)
+            g_im = (jnp.asarray(G.imag, self.dtype)
+                    if np.max(np.abs(G.imag)) > _AMP_TOL else None)
+            any_im = any_im or g_im is not None
+            if not w_out.any():
+                sidx = None
+            else:
+                skey = (0, w_out.astype(np.int8).tobytes())
+                if skey not in sign_idx:
+                    sign_idx[skey] = len(self._signs)
+                    self._signs.append(self._build_sign(0, w_out))
+                sidx = sign_idx[skey]
+            self._pairs.append((A, d_hi, Mmid, d_lo, L, g_re, g_im, sidx))
+
         # ---- roll-fallback passes (same math as the roll engine)
         self._passes = []
-        for ti in plan.roll_terms:
+        for ti in leftover:
             slots, dims, jstr, M, w = compiled.term_matrices[ti]
             self._passes.extend(
                 _term_roll_passes(space, slots, dims, jstr, M, w))
@@ -434,7 +477,9 @@ class ContractOp:
         return (self.diag_full,
                 tuple((g_re, g_im)
                       for (_, _, _, _, g_re, g_im, _) in self._wins),
-                tuple(self._signs))
+                tuple(self._signs),
+                tuple((g_re, g_im)
+                      for (_, _, _, _, _, g_re, g_im, _) in self._pairs))
 
     def _contract_frame(self, frame, xr, xi, win_params, signs):
         """Sum of this frame's window contractions of (xr, xi)."""
@@ -485,7 +530,7 @@ class ContractOp:
         import jax
         import jax.numpy as jnp
 
-        diag, win_params, signs = params
+        diag, win_params, signs, pair_params = params
         xr, xi = x
         N = self.N
         dt = self.dtype
@@ -514,8 +559,39 @@ class ContractOp:
             if ti is not None:
                 yi = (yi if yi is not None else 0.0) + ti
 
+        prec = self._precision
+        for (A, d_hi, Mmid, d_lo, L, _, _, sidx), (g_re, g_im) in zip(
+                self._pairs, pair_params):
+            sxr, sxi = xr, xi
+            if sidx is not None:
+                s = signs[sidx]
+                sxr = s * xr
+                sxi = s * xi if xi is not None else None
+
+            def one(gmat, v):
+                if gmat is None or v is None:
+                    return None
+                x5 = v.reshape(A, d_hi, Mmid, d_lo, L)
+                return jnp.einsum("abmcl,BCbc->aBmCl", x5, gmat,
+                                  precision=prec).reshape(-1)
+
+            rr, ri = one(g_re, sxr), one(g_re, sxi)
+            ir, ii = one(g_im, sxr), one(g_im, sxi)
+            t_re = rr if ii is None else rr - ii
+            yr = yr + t_re
+            if ri is not None or ir is not None:
+                t_im = (ri if ri is not None else 0.0) \
+                    + (ir if ir is not None else 0.0)
+                yi = (yi if yi is not None else 0.0) + t_im
+
         if self._passes:
-            lab = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+            # tie the label iota to x so the per-pass index math stays
+            # loop-VARIANT inside solver fori/while loops — hoisted as an
+            # invariant, every pass's N-sized digit/amp arrays would be
+            # live simultaneously (measured 34G at N = 2^24 f64)
+            tie = jax.lax.optimization_barrier(xr[0] * 0).astype(jnp.int32)
+            lab = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1) \
+                + tie
             yr, yi = _apply_roll_passes(self.space, self._passes, lab,
                                         xr, xi, yr, yi, dt)
         return (yr, yi)
@@ -554,6 +630,34 @@ class ContractOp:
         if self.sector_labels is None:
             return self.N * (1 + self.compiled.nnz_per_row)
         return self.sector_labels.size * (1 + self.compiled.nnz_per_row)
+
+
+def _pair_G(space, slots, dims, jstr, M, w_in, s_lo, s_hi):
+    """Dense (d_hi, d_lo, d_hi, d_lo) tensor G[B, C, b, c] for a term whose
+    support is exactly the two slots {s_lo, s_hi}, including intra-support
+    Jordan-Wigner signs from the fermion count tables (same sign convention
+    as :meth:`ContractPlan.window_G`)."""
+    d_lo, d_hi = int(space.dims[s_lo]), int(space.dims[s_hi])
+    dims_a = np.asarray(dims, dtype=np.int64)
+    F = space.fermion_count_table
+    G = np.zeros((d_hi, d_lo, d_hi, d_lo), dtype=np.complex128)
+    rr, cc = np.nonzero(np.abs(M) > _AMP_TOL)
+    for rj, cj in zip(rr, cc):
+        rdig = (int(rj) // jstr) % dims_a
+        cdig = (int(cj) // jstr) % dims_a
+        r_lo = r_hi = c_lo = c_hi = 0
+        for i, s in enumerate(slots):
+            if int(s) == s_lo:
+                r_lo, c_lo = int(rdig[i]), int(cdig[i])
+            else:
+                r_hi, c_hi = int(rdig[i]), int(cdig[i])
+        sgn = 1.0
+        for s in np.nonzero(w_in)[0]:
+            v = c_lo if int(s) == s_lo else c_hi
+            if int(F[int(s)][v]) % 2:
+                sgn = -sgn
+        G[r_hi, r_lo, c_hi, c_lo] += M[rj, cj] * sgn
+    return G
 
 
 # --------------------------------------------------------------------------
