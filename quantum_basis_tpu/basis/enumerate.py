@@ -30,13 +30,22 @@ def _per_slot_tables(mopr, space):
             const += complex(t.coeff).real
             continue
         slots = t.slots(space)
-        if len(slots) != 1:
+        if len(slots) != 1 or len(t.factors) != 1:
             return None
         d = np.asarray(t.factors[0].mat)
         if d.ndim != 1:
+            # Non-diagonal factor: the scan path's compile_diagonal raises
+            # for this; silently taking np.diagonal here would produce a
+            # wrong basis. Fall back (-> caller raises the same error).
+            off = d - np.diag(np.diagonal(d))
+            if np.abs(off).max(initial=0.0) > 1e-12:
+                return None
             d = np.diagonal(d)
+        if np.abs(np.imag(d)).max(initial=0.0) > 1e-12 \
+                or abs(complex(t.coeff).imag) > 1e-12:
+            return None
         tabs[int(slots[0])] = tabs[int(slots[0])] \
-            + complex(t.coeff).real * d.real
+            + complex(t.coeff).real * np.real(d)
     return tabs, const
 
 

@@ -1040,10 +1040,21 @@ class Model:
         store = active_store()  # per-k eigenvector disk cache, matching the
         # reference's eigenvecs_[k].dat files (src/model.cc:2163-2187)
 
+        # Content fingerprint of the vrnl Hamiltonian: without it a stale
+        # out_Qckpt/ from a run with different couplings (same dim/sec/k)
+        # would be silently trusted. The reference re-validates cached
+        # eigenvector files too (src/model.cc:2163-2187).
+        import zlib
+
+        fp = 0
+        for arr in (s.vmat.rows, s.vmat.cols, s.vmat.amp_re, s.vmat.amp_im,
+                    s.vmat.disp, s.vmat.diag):
+            fp = zlib.crc32(np.ascontiguousarray(arr).tobytes(), fp)
+
         base_momentum = s.momentum
         for idx, k in enumerate(momenta):
-            ckey = ("wannier_vrnl_sec%d_dim%d_k%s"
-                    % (sec, s.dim, "_".join(f"{v:+.6f}" for v in k)))
+            ckey = ("wannier_vrnl_sec%d_dim%d_h%08x_k%s"
+                    % (sec, s.dim, fp, "_".join(f"{v:+.6f}" for v in k)))
             rec = store.load(ckey) if store is not None else None
             if rec is not None and rec["evecs"].shape[0] == s.dim:
                 evals, evecs = rec["evals"], rec["evecs"]

@@ -250,7 +250,13 @@ class Mopr:
     """Sum of operator products — the Hamiltonian / observable type."""
 
     def __init__(self, terms=None):
+        """``terms``: an iterable of OprProd, or a single Opr/OprProd —
+        the reference's mopr is constructible from either (qbasis.h:818)."""
         self.terms: list[OprProd] = []
+        if isinstance(terms, Opr):
+            terms = [OprProd(1.0, [terms])]
+        elif isinstance(terms, OprProd):
+            terms = [terms]
         for t in terms or []:
             self._add_term(t)
 

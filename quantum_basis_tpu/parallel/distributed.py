@@ -66,8 +66,20 @@ def init_distributed(coordinator_address: str | None = None,
         except Exception as e:  # pragma: no cover - environment dependent
             if explicit:
                 raise
-            # auto-detect hint was a false positive (e.g. SLURM_JOB_ID set
-            # on a single-node allocation without a coordinator): fall back
+            # Strong multi-host markers mean this process is PART of a pod
+            # job: falling back would silently run N independent single-host
+            # computations. Refuse. (Weak hints like SLURM_JOB_ID on a
+            # single-node allocation still fall back with a warning.)
+            workers = [w for w in os.environ.get(
+                "TPU_WORKER_HOSTNAMES", "").split(",") if w.strip()]
+            strong = ("JAX_COORDINATOR_ADDRESS" in os.environ
+                      or len(workers) > 1
+                      or int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1")) > 1)
+            if strong:
+                raise RuntimeError(
+                    "jax.distributed.initialize failed in a multi-host "
+                    "environment; init_distributed() must run before any "
+                    f"other JAX API call (original error: {e})") from e
             import warnings
 
             warnings.warn(f"jax.distributed.initialize failed ({e}); "

@@ -88,7 +88,13 @@ def eigenvec_cg(matvec, E0: float, v0, maxit: int = 1000, tol: float = 2e-12,
     m_start = 0
     if store is not None:
         rec = store.load(ckpt_key)
-        if rec is not None and rec["v_re"].shape == np.asarray(v0[0]).shape:
+        # Resume only when the record matches THIS problem: shape AND the
+        # eigenvalue it was polishing toward. A same-key record from a run
+        # with a different E0/Hamiltonian would converge to a wrong vector.
+        if (rec is not None
+                and rec["v_re"].shape == np.asarray(v0[0]).shape
+                and abs(float(rec.get("E0", E0)) - float(E0))
+                <= 1e-8 * max(1.0, abs(float(E0)))):
             m_start = int(rec["m"])
             v0 = (jnp.asarray(rec["v_re"]),
                   jnp.asarray(rec["v_im"]) if complex_vec else None)

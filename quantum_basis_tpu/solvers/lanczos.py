@@ -288,9 +288,19 @@ def lanczos_dynamics(matvec, v_start, m_steps: int, ckpt_key=None,
     v_prev = cx.zeros_like(v_start)
     v_cur = v_start
     b_prev = 0.0
+    # Fingerprint of the start vector: a same-key record from a run against
+    # a different source vector (same dim) must not be resumed — the a/b
+    # coefficients would describe a different resolvent.
+    import zlib
+
+    v_fp = zlib.crc32(np.ascontiguousarray(np.asarray(v_start[0])).tobytes())
+    if v_start[1] is not None:
+        v_fp = zlib.crc32(
+            np.ascontiguousarray(np.asarray(v_start[1])).tobytes(), v_fp)
     rec = store.load(ckpt_key)
     if rec is not None and rec["v_cur_re"].shape == np.asarray(
-            v_start[0]).shape and int(rec["m_steps"]) == m_steps:
+            v_start[0]).shape and int(rec["m_steps"]) == m_steps \
+            and int(rec.get("v_fp", v_fp)) == v_fp:
         k0 = int(rec["k"])
         alphas = np.asarray(rec["alphas"])
         betas = np.asarray(rec["betas"])
@@ -312,6 +322,7 @@ def lanczos_dynamics(matvec, v_start, m_steps: int, ckpt_key=None,
             cr, ci = pack(v_cur)
             store.save(ckpt_key, {
                 "k": k, "m_steps": m_steps, "b_prev": b_prev,
+                "v_fp": v_fp,
                 "alphas": alphas, "betas": betas,
                 "v_prev_re": pr, "v_prev_im": pi,
                 "v_cur_re": cr, "v_cur_im": ci,

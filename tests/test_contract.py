@@ -115,3 +115,51 @@ def test_mixed_precision_solve_golden():
     import jax.numpy as jnp
 
     assert jnp.dtype(jnp.float32) in m.sec_full[0]._fs_cache
+
+
+def _contract_pairs_vs_matvecfull(m, cons, vals, max_window, tol=1e-11):
+    """Force the pair-window path (tiny max_window) and compare against the
+    sector matvec with a COMPLEX input vector (exercises _pair_G re/im and
+    the out-of-support JW sign prefactor)."""
+    import jax.numpy as jnp
+
+    from quantum_basis_tpu.ops.apply_contract import ContractOp
+
+    m.enumerate_basis_full(cons, vals)
+    labels = m.sec_full[0].labels
+    cop = ContractOp(m.compiled_Ham, labels, dtype=jnp.float64,
+                     max_window=max_window)
+    assert cop._pairs, "max_window=%d did not force any pair windows" \
+        % max_window
+    rng = np.random.default_rng(11)
+    xr = np.zeros(cop.N)
+    xi = np.zeros(cop.N)
+    xr[labels] = rng.normal(size=labels.size)
+    xi[labels] = rng.normal(size=labels.size)
+    yc = cop((jnp.asarray(xr), jnp.asarray(xi)))
+    mv = m.sec_full[0].matvec
+    ys = mv((jnp.asarray(xr[labels]), jnp.asarray(xi[labels])))
+    err = float(np.max(np.abs(np.asarray(yc[0])[labels] - np.asarray(ys[0]))))
+    assert err < tol, err
+    yi_ref = (np.asarray(ys[1]) if ys[1] is not None
+              else np.zeros(labels.size))
+    yi = (np.asarray(yc[1])[labels] if yc[1] is not None
+          else np.zeros(labels.size))
+    assert float(np.max(np.abs(yi - yi_ref))) < tol
+    return cop
+
+
+def test_contract_pair_windows_spin_chain():
+    """max_window=2 on a d=2 chain makes every 2-site bond a pair window
+    (no 2-slot window fits in D<=2) — covers the 5-axis einsum path."""
+    m, c = heisenberg_chain(10, "1/2")
+    cop = _contract_pairs_vs_matvecfull(m, [c["Sz"]], [0.0], max_window=2)
+    assert not cop._wins or all(w[2] <= 2 for w in cop._wins)
+
+
+def test_contract_pair_windows_fermionic_jw():
+    """Pairs on the honeycomb spinless fermion: hopping terms carry JW
+    strings, so the pair path must reproduce both the intra-support joint
+    matrix and the out-of-support elementwise sign prefactor."""
+    m, ops = spinless_fermion_honeycomb(3, 2)
+    _contract_pairs_vs_matvecfull(m, [ops["N"]], [3.0], max_window=2)

@@ -120,3 +120,20 @@ def test_enumerate_dnc_nonseparable_falls_back():
     assert enumerate_basis_dnc(m.space, [zz], [2.0]) is None
     lab = enumerate_basis(m.space, [zz], [2.0])
     assert lab.size == 2  # all-up and all-down (each: sum SzSz = 8/4)
+
+
+def test_enumerate_dnc_nondiagonal_falls_back():
+    """A non-diagonal single-site conserved operator must NOT be silently
+    diagonal-projected by the dnc path (the scan path's compile_diagonal
+    raises for it) — dnc returns None instead (advisor round-2 finding)."""
+    import numpy as np
+
+    from quantum_basis_tpu import Mopr, Opr
+    from quantum_basis_tpu.basis.enumerate import enumerate_basis_dnc
+    from models_zoo import heisenberg_chain
+
+    m, _ = heisenberg_chain(8)
+    sx = Mopr()
+    for x in range(8):
+        sx += Opr(x, 0, False, np.array([[0.0, 0.5], [0.5, 0.0]]))
+    assert enumerate_basis_dnc(m.space, [sx], [0.0]) is None
