@@ -482,7 +482,18 @@ class ContractOp:
                       for (_, _, _, _, _, g_re, g_im, _) in self._pairs))
 
     def _contract_frame(self, frame, xr, xi, win_params, signs):
-        """Sum of this frame's window contractions of (xr, xi)."""
+        """Sum of this frame's window contractions of (xr, xi).
+
+        Each window's contribution passes through an optimization_barrier
+        before accumulating: without it XLA horizontally batches the
+        same-shape window einsums inside solver loops into one
+        (hi, n_windows, N) intermediate — measured 14.5 GiB of HLO temps at
+        N = 2^24 f32 with ncv=12 live Krylov rows (OOM on a 16 GiB chip).
+        The barrier pins the peak at one extra (N,) accumulator per window
+        with no measured throughput cost (the windows are issued back to
+        back either way).
+        """
+        import jax
         import jax.numpy as jnp
 
         yr = None
@@ -524,6 +535,10 @@ class ContractOp:
             yr = t_re if yr is None else yr + t_re
             if t_im is not None:
                 yi = t_im if yi is None else yi + t_im
+            if yi is None:
+                yr = jax.lax.optimization_barrier(yr)
+            else:
+                yr, yi = jax.lax.optimization_barrier((yr, yi))
         return yr, yi
 
     def apply(self, params, x):
@@ -583,6 +598,11 @@ class ContractOp:
                 t_im = (ri if ri is not None else 0.0) \
                     + (ir if ir is not None else 0.0)
                 yi = (yi if yi is not None else 0.0) + t_im
+            # same anti-batching barrier as _contract_frame
+            if yi is None:
+                yr = jax.lax.optimization_barrier(yr)
+            else:
+                yr, yi = jax.lax.optimization_barrier((yr, yi))
 
         if self._passes:
             # tie the label iota to x so the per-pass index math stays

@@ -77,7 +77,19 @@ class _DeviceOps:
             """
             vr = mm(m_onehot, Vre)
             vi = mm(m_onehot, Vim) if self.cplx else None
+            # barrier: without it XLA fuses the row select into the matvec
+            # (e.g. the window-contraction einsum), materializing per-window
+            # copies of the WHOLE (ncv+1, N) buffer — measured 13 GiB of HLO
+            # temps at N = 2^24 f32 (OOM on a 16 GiB chip)
+            if self.cplx:
+                vr, vi = jax.lax.optimization_barrier((vr, vi))
+            else:
+                vr = jax.lax.optimization_barrier(vr)
             yr, yi = mv_apply(params, (vr, vi))
+            if self.cplx:
+                yr, yi = jax.lax.optimization_barrier((yr, yi))
+            else:
+                yr = jax.lax.optimization_barrier(yr)
             h1r, h1i = proj(Vre, Vim, yr, yi, mask)
             yr, yi = subtract(Vre, Vim, yr, yi, h1r, h1i, mask)
             h2r, h2i = proj(Vre, Vim, yr, yi, mask)
