@@ -87,10 +87,14 @@ def main():
 
     @jax.jit
     def chain(v, k):
+        # k arrives as a TRACED scalar (jnp.int32): both call sites share
+        # ONE executable (a python-int k would compile the 25-pass apply
+        # chain twice — measured ~30 s of the old 81 s setup)
         v = jax.lax.fori_loop(0, k, lambda i, u: step(u), v)
         return jnp.vdot(v, v)
 
-    warm, iters = 2, 52
+    warm_i, iters_i = 2, 52
+    warm, iters = jnp.int32(warm_i), jnp.int32(iters_i)
     float(chain(x, warm))   # compile + warm-up
     float(chain(x, iters))
     t_setup = time.time() - t0
@@ -102,7 +106,7 @@ def main():
     s1 = float(chain(x, iters))
     t_full = time.time() - t1
     assert abs(s0 - 1.0) < 1e-3 and abs(s1 - 1.0) < 1e-3, (s0, s1)
-    dt = (t_full - t_warm) / (iters - warm)
+    dt = (t_full - t_warm) / (iters_i - warm_i)
 
     nnz_per_s = nnz / dt
     out = {

@@ -77,6 +77,8 @@ def main():
     import jax
 
     initialize(quiet=True, mixed_precision=True)
+    from quantum_basis_tpu import config
+    config.solver_log_dir = "out_logs"   # per-restart convergence lines
     t_all = time.time()
 
     # ---- full sector

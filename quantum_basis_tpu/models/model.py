@@ -34,6 +34,7 @@ from quantum_basis_tpu.solvers.lanczos import lanczos_dynamics, lanczos_ground
 from quantum_basis_tpu.utils.rng import vec_randomize
 
 _DENSE_CUTOFF = 600  # sectors at/below this size are solved densely on host
+_POLISH_N = 1 << 22  # above this full-space N, f64 polish = 2-vector Lanczos
 
 
 class Sector:
@@ -416,11 +417,9 @@ class Model:
                     if v32:
                         v0 = v32[0]
             if fs is not None:
-                evals, vecs_full = eigs_smallest(
-                    fs, fs.N, nev=nev, ncv=max(12, 2 * nev + 6),
-                    maxit=maxit, seed=seed, complex_vec=fs.is_complex or complex_h,
-                    mask=fs.mask, ckpt_key=key + "_krylov", v0=v0,
-                )
+                evals, vecs_full = self._solve_fullspace(
+                    fs, nev, max(12, 2 * nev + 6), maxit, seed,
+                    fs.is_complex or complex_h, key + "_krylov", v0)
                 vecs = [fs.to_sector(v) for v in vecs_full]
             else:
                 evals, vecs = eigs_smallest(
@@ -433,6 +432,49 @@ class Model:
         self.eigenvecs_full = vecs[:max(ncv, 1)]
         sector.evals, sector.evecs = list(evals), list(vecs)
         self._e0_sec = sec
+
+    @staticmethod
+    def _solve_fullspace(fs, nev, ncv, maxit, seed, complex_vec, ckpt_key,
+                         v0):
+        """Full-space sector solve: thick restart, or — warm-started at
+        large N — the 2-vector Lanczos polish.
+
+        The thick-restart basis holds ncv+1 full-space rows; with emulated
+        f64 on TPU its CGS2 matmuls at N = 2^24 generate multi-GiB XLA
+        temps (measured 26 GiB on a 16 GiB chip). Past ``_POLISH_N`` the
+        f64 stage therefore runs the rolling 2-vector kernel
+        (solvers/lanczos.py, the reference's own sr_val0 design,
+        src/lanczos.cc:193-264) from the f32 stage's Ritz vector — 3
+        full-space vectors total, no basis buffer.
+        """
+        from quantum_basis_tpu.solvers.restarted import eigs_smallest
+
+        if v0 is not None and nev == 1 and fs.N > _POLISH_N:
+            import jax.numpy as jnp
+
+            from quantum_basis_tpu.ops import cplx as cx
+            from quantum_basis_tpu.solvers.lanczos import lanczos_ground
+
+            re = np.asarray(v0[0], dtype=np.float64)
+            im = (np.asarray(v0[1], dtype=np.float64)
+                  if v0[1] is not None else None)
+            ph = getattr(fs, "project_host", None)
+            if ph is not None:
+                re, im = ph(re, im)
+            elif fs.mask is not None:
+                m = np.asarray(fs.mask, dtype=np.float64)
+                re = re * m
+                im = im * m if im is not None else None
+            if complex_vec and im is None:
+                im = np.zeros_like(re)
+            v0c = (jnp.asarray(re), jnp.asarray(im) if im is not None
+                   else None)
+            v0c = cx.scale(v0c, 1.0 / float(cx.norm(v0c)))
+            out = lanczos_ground(fs, v0c, maxit=maxit, inner=60)
+            return [out["E0"]], [out["vector"]]
+        return eigs_smallest(fs, fs.N, nev=nev, ncv=ncv, maxit=maxit,
+                             seed=seed, complex_vec=complex_vec,
+                             mask=fs.mask, ckpt_key=ckpt_key, v0=v0)
 
     # ------------------------------------------------- stage checkpointing
 
@@ -1122,11 +1164,9 @@ class Model:
                         )
                         if v32:
                             v0 = v32[0]
-                evals, vecs_full = eigs_smallest(
-                    fs, fs.N, nev=nev, ncv=ncv_, maxit=maxit, seed=seed,
-                    complex_vec=fs.is_complex, ckpt_key=key + "_krylov",
-                    v0=v0,
-                )
+                evals, vecs_full = self._solve_fullspace(
+                    fs, nev, ncv_, maxit, seed, fs.is_complex,
+                    key + "_krylov", v0)
                 vecs = [sector.dbasis.from_full(v) for v in vecs_full]
             else:
                 evals, vecs = eigs_smallest(

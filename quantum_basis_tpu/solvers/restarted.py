@@ -49,12 +49,19 @@ class _DeviceOps:
             return jnp.matmul(a, b, precision=prec)
 
         def proj(Vre, Vim, wr, wi, mask):
-            """h = V^dagger w (masked rows): returns (hr, hi)."""
-            hr = mm(Vre * mask[:, None], wr)
+            """h = V^dagger w (masked rows): returns (hr, hi).
+
+            The row mask applies to the CONTRACTED result (length ncv+1),
+            never to V: ``(V * mask[:, None]) @ w == (V @ w) * mask`` but
+            the left form materializes masked (ncv+1, N) copies of the
+            whole basis — four per CGS2 step, which XLA's while-loop remat
+            stacked into a 14.5 GiB temp at N = 2^24 (OOM on a 16 GiB chip).
+            """
+            hr = mm(Vre, wr) * mask
             hi = None
             if self.cplx:
-                hr = hr + mm(Vim * mask[:, None], wi)
-                hi = mm(Vre * mask[:, None], wi) - mm(Vim * mask[:, None], wr)
+                hr = hr + mm(Vim, wi) * mask
+                hi = (mm(Vre, wi) - mm(Vim, wr)) * mask
             return hr, hi
 
         def subtract(Vre, Vim, wr, wi, hr, hi, mask):
@@ -67,20 +74,29 @@ class _DeviceOps:
                 wi = wi - mm(hr, Vim) - mm(hi, Vre)
             return wr, wi
 
-        def step(Vre, Vim, m_onehot, mask, params):
-            """One Lanczos/Arnoldi step from row m: returns updated V, h, b.
+        def _row(V, j):
+            """Row j of V via dynamic_slice — NOT a onehot matmul: the
+            onehot outer-product row select/update materialized (ncv+1, N)
+            broadcast temps per step, which XLA's while-loop remat turned
+            into multi-GiB compressed/uncompressed buffer pairs at
+            N = 2^24 (OOM on a 16 GiB chip)."""
+            return jax.lax.dynamic_slice_in_dim(V, j, 1, 0)[0]
 
-            m_onehot selects the current vector; mask marks active rows 0..m.
+        def _set_row(V, j, v):
+            return jax.lax.dynamic_update_slice_in_dim(V, v[None, :], j, 0)
+
+        def step(Vre, Vim, j, params):
+            """One Lanczos/Arnoldi step from row j: returns updated V, h, b.
+
             ``params`` carries the matvec's device arrays as jit ARGUMENTS
             (capturing them as constants triggers XLA constant folding over
             the whole x-independent index arithmetic — minutes of compile).
             """
-            vr = mm(m_onehot, Vre)
-            vi = mm(m_onehot, Vim) if self.cplx else None
-            # barrier: without it XLA fuses the row select into the matvec
-            # (e.g. the window-contraction einsum), materializing per-window
-            # copies of the WHOLE (ncv+1, N) buffer — measured 13 GiB of HLO
-            # temps at N = 2^24 f32 (OOM on a 16 GiB chip)
+            rows = Vre.shape[0]
+            mask = (jnp.arange(rows) <= j).astype(self.dtype)
+            vr = _row(Vre, j)
+            vi = _row(Vim, j) if self.cplx else None
+            # barrier: keep the row select out of the matvec fusion
             if self.cplx:
                 vr, vi = jax.lax.optimization_barrier((vr, vi))
             else:
@@ -99,17 +115,15 @@ class _DeviceOps:
             b = jnp.sqrt(jnp.vdot(yr, yr, precision=prec)
                          + (jnp.vdot(yi, yi, precision=prec) if self.cplx else 0.0))
             inv = jnp.where(b > _BREAKDOWN, 1.0 / jnp.maximum(b, _BREAKDOWN), 0.0)
-            # write normalized next vector into the row after m (shift onehot)
-            nxt = jnp.roll(m_onehot, 1)
-            Vre = Vre + nxt[:, None] * (yr * inv)[None, :] - nxt[:, None] * mm(nxt, Vre)[None, :]
+            Vre = _set_row(Vre, j + 1, yr * inv)
             if self.cplx:
-                Vim = Vim + nxt[:, None] * (yi * inv)[None, :] - nxt[:, None] * mm(nxt, Vim)[None, :]
+                Vim = _set_row(Vim, j + 1, yi * inv)
             return Vre, Vim, hr, hi, b
 
-        def compact(Vre, Vim, Sre, Sim, m_onehot):
+        def compact(Vre, Vim, Sre, Sim, m):
             """Thick restart: rows <- [S^T V ; v_m], S is (ncv+1, keep)."""
-            vr = mm(m_onehot, Vre)
-            vi = mm(m_onehot, Vim) if self.cplx else jnp.zeros_like(vr)
+            vr = _row(Vre, m)
+            vi = _row(Vim, m) if self.cplx else jnp.zeros_like(vr)
             Yre = mm(Sre.T, Vre)
             Yim = None
             if self.cplx:
@@ -122,8 +136,9 @@ class _DeviceOps:
                 newVim = jnp.zeros_like(Vim).at[:k].set(Yim).at[k].set(vi)
             return newVre, newVim
 
-        def insert_random(Vre, Vim, rr, ri, mask, row_onehot):
-            """Orthogonalize a random vector against masked rows, put at row."""
+        def insert_random(Vre, Vim, rr, ri, j, row):
+            """Orthogonalize a random vector against rows 0..j, put at row."""
+            mask = (jnp.arange(Vre.shape[0]) <= j).astype(self.dtype)
             h1r, h1i = proj(Vre, Vim, rr, ri, mask)
             rr, ri = subtract(Vre, Vim, rr, ri, h1r, h1i, mask)
             h2r, h2i = proj(Vre, Vim, rr, ri, mask)
@@ -131,9 +146,9 @@ class _DeviceOps:
             b = jnp.sqrt(jnp.vdot(rr, rr, precision=prec)
                          + (jnp.vdot(ri, ri, precision=prec) if self.cplx else 0.0))
             inv = 1.0 / jnp.maximum(b, _BREAKDOWN)
-            Vre = Vre + row_onehot[:, None] * ((rr * inv)[None, :] - mm(row_onehot, Vre)[None, :])
+            Vre = _set_row(Vre, row, rr * inv)
             if self.cplx:
-                Vim = Vim + row_onehot[:, None] * ((ri * inv)[None, :] - mm(row_onehot, Vim)[None, :])
+                Vim = _set_row(Vim, row, ri * inv)
             return Vre, Vim, b
 
         def expand(Vre, Vim, m0, params):
@@ -149,16 +164,13 @@ class _DeviceOps:
             stepwise path with random reinjection.
             """
             rows = ncv + 1
-            idx = jnp.arange(rows)
             Hr = jnp.zeros((rows, rows), self.dtype)
             Hi = jnp.zeros((rows, rows), self.dtype)
             bvec = jnp.zeros(rows, self.dtype)
 
             def body(j, carry):
                 Vre, Vim, Hr, Hi, bvec = carry
-                onehot = (idx == j).astype(self.dtype)
-                mask = (idx <= j).astype(self.dtype)
-                Vre, Vim, hr, hi, b = step(Vre, Vim, onehot, mask, params)
+                Vre, Vim, hr, hi, b = step(Vre, Vim, j, params)
                 Hr = Hr.at[:, j].set(hr)
                 Hi = Hi.at[:, j].set(hi)
                 bvec = bvec.at[j].set(b.astype(self.dtype))
@@ -394,17 +406,16 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
                 rr, ri = _proj(*vec_randomize(n, seed=rng_seed,
                                               complex_valued=complex_vec))
                 rng_seed += 7
-                mask, _ = masks(stop)
-                _, row_onehot = masks(stop + 1)
                 Vre, Vim, bnorm = ops.insert_random(
                     Vre,
                     Vim if Vim is not None else jnp.zeros((1, 1)),
                     jnp.asarray(rr, Vre.dtype),
                     (jnp.asarray(ri, Vre.dtype) if ri is not None
                      else jnp.zeros(n, Vre.dtype)),
-                    mask, row_onehot,
-                ) if complex_vec else _insert_real(ops, Vre, rr, mask,
-                                                   row_onehot)
+                    np.int32(stop), np.int32(stop + 1),
+                ) if complex_vec else _insert_real(ops, Vre, rr,
+                                                   np.int32(stop),
+                                                   np.int32(stop + 1))
                 if float(bnorm) < _BREAKDOWN * 10 or m >= n:
                     break
 
@@ -431,7 +442,7 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
             Sk = S[:, :keep]
             Spad = np.zeros((rows, keep), dtype=np.complex128)
             Spad[:mm] = Sk
-            Yre, Yim = _compact(ops, Vre, Vim, Spad, masks(m)[1], complex_vec)
+            Yre, Yim = _compact(ops, Vre, Vim, Spad, np.int32(m), complex_vec)
             vecs = []
             for i in range(keep):
                 vr = Yre[i]
@@ -446,8 +457,8 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         Sk = S[:, :keep]
         Spad = np.zeros((rows, keep), dtype=np.complex128)
         Spad[:mm] = Sk
-        _, onehot = masks(m)
-        Vre, Vim = _compact_inplace(ops, Vre, Vim, Spad, onehot, complex_vec)
+        Vre, Vim = _compact_inplace(ops, Vre, Vim, Spad, np.int32(m),
+                                    complex_vec)
         Hm[:, :] = 0.0
         Hm[:keep, :keep] = np.diag(theta[:keep])
         u = coup @ Sk  # coupling of v_m to kept Ritz vectors
@@ -464,33 +475,33 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     raise RuntimeError(f"thick-restart Lanczos failed to converge in {maxit} steps")
 
 
-def _step_real(ops, Vre, onehot, mask):
+def _step_real(ops, Vre, j):
     import jax.numpy as jnp
 
-    Vre, _, hr, hi, b = ops.step(Vre, jnp.zeros((1, 1)), onehot, mask, ops.mv_params)
+    Vre, _, hr, hi, b = ops.step(Vre, jnp.zeros((1, 1)), j, ops.mv_params)
     return Vre, None, hr, hi, b
 
 
-def _insert_real(ops, Vre, rr, mask, row_onehot):
+def _insert_real(ops, Vre, rr, j, row):
     import jax.numpy as jnp
 
     Vre, _, b = ops.insert_random(Vre, jnp.zeros((1, 1)),
                                   jnp.asarray(rr, Vre.dtype),
                                   jnp.zeros(Vre.shape[1], Vre.dtype),
-                                  mask, row_onehot)
+                                  j, row)
     return Vre, None, b
 
 
-def _compact(ops, Vre, Vim, Spad, onehot, complex_vec):
+def _compact(ops, Vre, Vim, Spad, m, complex_vec):
     import jax.numpy as jnp
 
     Sre = jnp.asarray(Spad.real, Vre.dtype)
     Sim = jnp.asarray(Spad.imag, Vre.dtype)
     Yre, Yim = ops.compact(Vre, Vim if Vim is not None else jnp.zeros((1, 1)),
-                           Sre, Sim, onehot)
+                           Sre, Sim, m)
     return Yre, Yim
 
 
-def _compact_inplace(ops, Vre, Vim, Spad, onehot, complex_vec):
-    Yre, Yim = _compact(ops, Vre, Vim, Spad, onehot, complex_vec)
+def _compact_inplace(ops, Vre, Vim, Spad, m, complex_vec):
+    Yre, Yim = _compact(ops, Vre, Vim, Spad, m, complex_vec)
     return Yre, Yim
