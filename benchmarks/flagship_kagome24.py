@@ -76,7 +76,10 @@ def main():
 
     import jax
 
-    initialize(quiet=True, mixed_precision=True)
+    # checkpointing on: each sector's solve stage persists (out_Qckpt/), so
+    # a killed/hung run resumes past completed sectors (cf. ckpt_lczsE0,
+    # reference src/model.cc:2521-2749)
+    initialize(quiet=True, mixed_precision=True, enable_checkpoint=True)
     from quantum_basis_tpu import config
     config.solver_log_dir = "out_logs"   # per-restart convergence lines
     t_all = time.time()
