@@ -218,12 +218,11 @@ class Model:
         """Full-label-space engine for this sector when supported and the
         label-space blowup is worth it; None otherwise. Cached per dtype.
 
-        f64 (default): the masked-roll engine (ops/apply_fullspace.py) when
-        its popcount-JW constraint holds, else the window-contraction engine
-        (ops/apply_contract.py — exact joint matrices, so it also covers
-        d=3 models like t-J that the roll engine cannot).
-        f32: always the window-contraction engine (the mixed-precision
-        Krylov hot path — MXU matmuls at HIGHEST precision).
+        Engine order (both dtypes): the window-contraction engine
+        (ops/apply_contract.py) when it fully covers the operator — MXU
+        matmuls, fewer HBM passes, exact joint matrices (also covers d=3
+        models like t-J) — else the masked-roll engine
+        (ops/apply_fullspace.py) under its popcount-JW constraint.
         """
         import jax.numpy as jnp
 
@@ -244,13 +243,11 @@ class Model:
         if self.space.label_space > max_blowup * max(sector.dim, 1):
             return None
         op = None
-        if dtype == jnp.dtype(jnp.float32):
-            if supports_contract(self.compiled_Ham):
-                op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
-        elif supports_fullspace(self.compiled_Ham):
-            op = FullSpaceOp(self.compiled_Ham, sector.labels)
-        elif supports_contract(self.compiled_Ham):
+        if supports_contract(self.compiled_Ham):
             op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
+        elif dtype != jnp.dtype(jnp.float32) \
+                and supports_fullspace(self.compiled_Ham):
+            op = FullSpaceOp(self.compiled_Ham, sector.labels)
         cache[dtype] = op
         return op
 
@@ -344,13 +341,12 @@ class Model:
                 self._rolls = rolls
             base = None
             if rolls is not None:
-                if dtype == jnp.dtype(jnp.float32):
-                    if supports_contract(self.compiled_Ham):
-                        base = ContractOp(self.compiled_Ham, dtype=dtype)
-                elif supports_fullspace(self.compiled_Ham):
-                    base = FullSpaceOp(self.compiled_Ham)
-                elif supports_contract(self.compiled_Ham):
+                # same engine order as _fullspace_op: contract first
+                if supports_contract(self.compiled_Ham):
                     base = ContractOp(self.compiled_Ham, dtype=dtype)
+                elif dtype != jnp.dtype(jnp.float32) \
+                        and supports_fullspace(self.compiled_Ham):
+                    base = FullSpaceOp(self.compiled_Ham)
             if base is not None:
                 base.mask = self._qn_mask_device(
                     dtype if dtype == jnp.dtype(jnp.float32)
