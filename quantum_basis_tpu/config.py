@@ -57,6 +57,12 @@ ckpt_dir = "out_Qckpt"
 # the reference's log_Lanczos_<purpose>.txt / log_CG.txt, SURVEY §5.5).
 solver_log_dir = None
 
+# Persistent XLA compilation cache directory. OPT-IN via QBX_COMPILE_CACHE:
+# on hosts with a remote-plugin backend (the tunneled bench chip) the cache
+# machinery's backend/topology queries can block at initialize time, so the
+# default stays off.
+compilation_cache_dir = os.environ.get("QBX_COMPILE_CACHE", "")
+
 # Label spaces up to this size get an O(1) direct position-lookup table on
 # device; larger spaces fall back to binary search / Lin tables.
 direct_lookup_max = 1 << 26
@@ -75,6 +81,19 @@ def initialize(enable_checkpoint: bool = False, quiet: bool = False,
     if mixed_precision is not None:
         globals()["mixed_precision"] = bool(mixed_precision)
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: identical programs (e.g. the full-space
+    # apply re-jitted per momentum sector, or a resumed run after
+    # preemption) reuse their compiled executables from disk. On the
+    # tunneled bench chip a large f64 apply compiles in minutes — paying it
+    # once per program instead of once per jit instance is load-bearing.
+    if compilation_cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+        except Exception:  # pragma: no cover - older jax
+            pass
     if quiet:
         return
     print("=" * 64)

@@ -37,6 +37,15 @@ _DENSE_CUTOFF = 600  # sectors at/below this size are solved densely on host
 _POLISH_N = 1 << 22  # above this full-space N, f64 polish = 2-vector Lanczos
 
 
+def _f64_prefers_rolls() -> bool:
+    """True on backends where f64 matmuls are emulated (TPU): there the
+    roll engine's elementwise passes beat window contractions by ~200x.
+    On CPU/GPU native-f64 backends the contraction engine wins (~3x)."""
+    import jax
+
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+
+
 class Sector:
     """One quantum-number (and optionally momentum) sector: basis + matvec."""
 
@@ -218,11 +227,16 @@ class Model:
         """Full-label-space engine for this sector when supported and the
         label-space blowup is worth it; None otherwise. Cached per dtype.
 
-        Engine order (both dtypes): the window-contraction engine
-        (ops/apply_contract.py) when it fully covers the operator — MXU
-        matmuls, fewer HBM passes, exact joint matrices (also covers d=3
-        models like t-J) — else the masked-roll engine
-        (ops/apply_fullspace.py) under its popcount-JW constraint.
+        f32: the window-contraction engine (MXU matmuls at HIGHEST — the
+        mixed-precision Krylov hot path, 6.4 ms/apply on the L=24 bench).
+        f64: platform-dependent. On TPU, emulated-f64 MATMULS cost ~3000x
+        their f32 versions (a 20 s window-contraction apply at N = 2^24,
+        measured) while emulated-f64 ELEMENTWISE passes are only a few
+        times slower (110 ms/apply, same workload) — so the roll engine
+        wins by ~200x. On CPU, native f64 matmuls make the contraction
+        engine ~3x faster than the roll passes. Either way the other
+        engine is the fallback (e.g. d=3 models like t-J are outside the
+        roll engine's popcount-JW constraint).
         """
         import jax.numpy as jnp
 
@@ -243,11 +257,16 @@ class Model:
         if self.space.label_space > max_blowup * max(sector.dim, 1):
             return None
         op = None
-        if supports_contract(self.compiled_Ham):
-            op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
-        elif dtype != jnp.dtype(jnp.float32) \
-                and supports_fullspace(self.compiled_Ham):
+        if dtype == jnp.dtype(jnp.float32) or not _f64_prefers_rolls():
+            if supports_contract(self.compiled_Ham):
+                op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
+            elif dtype != jnp.dtype(jnp.float32) \
+                    and supports_fullspace(self.compiled_Ham):
+                op = FullSpaceOp(self.compiled_Ham, sector.labels)
+        elif supports_fullspace(self.compiled_Ham):
             op = FullSpaceOp(self.compiled_Ham, sector.labels)
+        elif supports_contract(self.compiled_Ham):
+            op = ContractOp(self.compiled_Ham, sector.labels, dtype=dtype)
         cache[dtype] = op
         return op
 
@@ -341,12 +360,18 @@ class Model:
                 self._rolls = rolls
             base = None
             if rolls is not None:
-                # same engine order as _fullspace_op: contract first
-                if supports_contract(self.compiled_Ham):
-                    base = ContractOp(self.compiled_Ham, dtype=dtype)
-                elif dtype != jnp.dtype(jnp.float32) \
-                        and supports_fullspace(self.compiled_Ham):
+                # same engine order as _fullspace_op (see its docstring)
+                if dtype == jnp.dtype(jnp.float32) \
+                        or not _f64_prefers_rolls():
+                    if supports_contract(self.compiled_Ham):
+                        base = ContractOp(self.compiled_Ham, dtype=dtype)
+                    elif dtype != jnp.dtype(jnp.float32) \
+                            and supports_fullspace(self.compiled_Ham):
+                        base = FullSpaceOp(self.compiled_Ham)
+                elif supports_fullspace(self.compiled_Ham):
                     base = FullSpaceOp(self.compiled_Ham)
+                elif supports_contract(self.compiled_Ham):
+                    base = ContractOp(self.compiled_Ham, dtype=dtype)
             if base is not None:
                 base.mask = self._qn_mask_device(
                     dtype if dtype == jnp.dtype(jnp.float32)

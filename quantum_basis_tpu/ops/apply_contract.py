@@ -764,9 +764,4 @@ def _apply_roll_passes(space, passes, lab, xr, xi, yr, yi, dt):
         yr = yr + jnp.roll(tr, dl)
         if ti is not None:
             yi = (yi if yi is not None else 0.0) + jnp.roll(ti, dl)
-        # anti-batching barrier (cf. _contract_frame)
-        if yi is None:
-            yr = jax.lax.optimization_barrier(yr)
-        else:
-            yr, yi = jax.lax.optimization_barrier((yr, yi))
     return yr, yi

@@ -258,16 +258,6 @@ class FullSpaceOp:
             yr = yr + jnp.roll(tr, dl)
             if ti is not None:
                 yi = (yi if yi is not None else 0.0) + jnp.roll(ti, dl)
-            # anti-batching barrier: inside solver fori/while loops XLA
-            # horizontally batches the same-shape per-pass computations into
-            # one (k, n_passes, N) intermediate (measured 14.5 GiB of HLO
-            # temps at N = 2^24 with ncv=12 live Krylov rows — OOM); the
-            # barrier serializes the passes at one (N,) accumulator each
-            # (cf. the same fix in apply_contract._contract_frame)
-            if yi is None:
-                yr = jax.lax.optimization_barrier(yr)
-            else:
-                yr, yi = jax.lax.optimization_barrier((yr, yi))
         return (yr, yi)
 
     def __call__(self, x):

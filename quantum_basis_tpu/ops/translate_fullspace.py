@@ -288,9 +288,14 @@ class MomentumProjector:
         self.momentum = tuple(int(x) for x in np.atleast_1d(momentum))
         self.dtype = jnp.dtype(dtype or jnp.float64)
 
-        # per pbc dim: list of (r, cos, sin, sign_index)
+        # per pbc dim: list of (r, sign_index); phases go into ``params`` as
+        # TRACED scalars so every momentum sector of a model shares one
+        # compiled program (baked-in phase constants made each k-sector a
+        # distinct HLO — at N = 2^24 over the tunneled chip that re-paid a
+        # minutes-long compile per sector)
         self.dims = []
         signs_np = []
+        phases_np = []  # aligned with terms in iteration order: (cos, sin)
         for d in lattice.trans_dims:
             L = int(lattice.L[d])
             if L < 2:
@@ -307,33 +312,48 @@ class MomentumProjector:
                 if sgn is not None:
                     sidx = len(signs_np)
                     signs_np.append(sgn)
-                terms.append((r, c, s, sidx))
+                terms.append((r, sidx))
+                phases_np.append((c, s))
             self.dims.append((d, L, terms))
         self._signs_np = signs_np
-        self._signs_dev = None
-        self.complex_phases = any(
-            abs(s) > _PHASE_TOL for (_, _, terms) in self.dims
-            for (_, _, s, _) in terms)
+        self._phases_np = np.asarray(phases_np, dtype=np.float64).reshape(
+            -1, 2)
+        self._params_dev = None
+        self.complex_phases = bool(
+            np.any(np.abs(self._phases_np[:, 1]) > _PHASE_TOL))
         self.is_identity = not self.dims
 
     @property
     def params(self):
         import jax.numpy as jnp
 
-        if self._signs_dev is None:
-            self._signs_dev = tuple(jnp.asarray(s, self.dtype)
-                                    for s in self._signs_np)
-        return self._signs_dev
+        if self._params_dev is None:
+            self._params_dev = (
+                tuple(jnp.asarray(s, self.dtype) for s in self._signs_np),
+                jnp.asarray(self._phases_np, self.dtype),
+            )
+        return self._params_dev
 
     # ------------------------------------------------------------- device
 
-    def _apply_impl(self, signs, xr, xi):
-        """Shared device/host body: per dim, sum the phased signed shifts."""
+    def _apply_impl(self, signs, phases, xr, xi):
+        """Shared device/host body: per dim, sum the phased signed shifts.
+
+        ``phases`` is the (n_terms, 2) cos/sin array (device or numpy);
+        whether the imaginary phase path is emitted is decided by the
+        sector-independent ``complex_phases`` flag, keeping the traced
+        structure identical for every complex-sector momentum.
+        """
         rolls = self.rolls
+        t_idx = 0
+        cplx = self.complex_phases
         for (d, L, terms) in self.dims:
             acc_r = xr
             acc_i = xi
-            for (r, c, s, sidx) in terms:
+            for (r, sidx) in terms:
+                c = phases[t_idx, 0]
+                s = phases[t_idx, 1]
+                t_idx += 1
                 sxr, sxi = xr, xi
                 if sidx is not None:
                     sg = signs[sidx]
@@ -343,10 +363,9 @@ class MomentumProjector:
                 ti = (rolls.translate(sxi, d, r)
                       if sxi is not None else None)
                 # (c + i s) * (tr + i ti)
-                pr = c * tr - (s * ti if ti is not None
-                               and abs(s) > _PHASE_TOL else 0.0)
+                pr = c * tr - (s * ti if ti is not None and cplx else 0.0)
                 pi = None
-                if abs(s) > _PHASE_TOL:
+                if cplx:
                     pi = s * tr + (c * ti if ti is not None else 0.0)
                 elif ti is not None:
                     pi = c * ti
@@ -361,7 +380,8 @@ class MomentumProjector:
     def apply(self, params, x):
         """P_k (xr, xi) -> (yr, yi); xi may be None (yi appears only when
         phases are complex)."""
-        return self._apply_impl(params, x[0], x[1])
+        signs, phases = params
+        return self._apply_impl(signs, phases, x[0], x[1])
 
     # --------------------------------------------------------------- host
 
@@ -369,7 +389,7 @@ class MomentumProjector:
         """numpy twin of apply (used for solver start/injection vectors)."""
         re = np.asarray(re, dtype=np.float64)
         im = None if im is None else np.asarray(im, dtype=np.float64)
-        return self._apply_impl(self._signs_np, re, im)
+        return self._apply_impl(self._signs_np, self._phases_np, re, im)
 
 
 class ProjectedFullOp:
