@@ -434,6 +434,7 @@ class Model:
                         fs32, fs32.N, nev=nev, ncv=ncv_, maxit=maxit,
                         seed=seed, complex_vec=cv32, mask=fs32.mask,
                         tol=config.mixed_precision_f32_tol,
+                        ckpt_key=key + "_f32",
                     )
                     if v32:
                         v0 = v32[0]
@@ -491,7 +492,9 @@ class Model:
             v0c = (jnp.asarray(re), jnp.asarray(im) if im is not None
                    else None)
             v0c = cx.scale(v0c, 1.0 / float(cx.norm(v0c)))
-            out = lanczos_ground(fs, v0c, maxit=maxit, inner=60)
+            out = lanczos_ground(fs, v0c, maxit=maxit, inner=60,
+                                 ckpt_key=(ckpt_key + "_polish"
+                                           if ckpt_key else None))
             return [out["E0"]], [out["vector"]]
         return eigs_smallest(fs, fs.N, nev=nev, ncv=ncv, maxit=maxit,
                              seed=seed, complex_vec=complex_vec,
@@ -1182,6 +1185,7 @@ class Model:
                             fs32, fs32.N, nev=nev, ncv=ncv_, maxit=maxit,
                             seed=seed, complex_vec=fs32.is_complex,
                             tol=config.mixed_precision_f32_tol,
+                            ckpt_key=key + "_f32",
                         )
                         if v32:
                             v0 = v32[0]

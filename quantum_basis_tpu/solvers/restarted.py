@@ -17,12 +17,15 @@ one jitted step/restart serves the whole run.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from quantum_basis_tpu.ops import cplx as cx
 from quantum_basis_tpu.utils.rng import vec_randomize
 
 _BREAKDOWN = 1e-13
+_SAVE_PERIOD = 60.0  # min seconds between restart-boundary ckpt writes
 
 
 class _DeviceOps:
@@ -366,6 +369,7 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
             m = int(rec["m"])
             it = int(rec["it"])
     rng_seed = seed + 101
+    last_save = 0.0  # monotonic time of the last restart-boundary save
     sort_sign = 1.0 if which == "SA" else -1.0
 
     def masks(m):
@@ -466,12 +470,16 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         Hm[:keep, keep] = u
         m = keep
         k_locked = keep
-        if store is not None:
+        if store is not None and time.monotonic() - last_save > _SAVE_PERIOD:
+            # time-throttled: at large N the (ncv+1, N) basis is ~1 GB per
+            # record — write at most every _SAVE_PERIOD seconds, not every
+            # restart
             store.save(ckpt_key, {
                 "Vre": np.asarray(Vre),
                 "Vim": np.asarray(Vim) if complex_vec else np.zeros((1, 1)),
                 "Hm": Hm, "m": m, "it": it,
             })
+            last_save = time.monotonic()
     raise RuntimeError(f"thick-restart Lanczos failed to converge in {maxit} steps")
 
 
