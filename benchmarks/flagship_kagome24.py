@@ -96,6 +96,14 @@ def main():
     t_full = time.time() - t0
     E0_full = float(m.eigenvals_full[0])
     print(f"E0(full) = {E0_full:.12f}   [{t_full:.1f}s]", flush=True)
+    with open(args.out + ".partial", "w") as f:
+        json.dump({"workload": f"kagome_heisenberg_{args.lx}x{args.ly}_Sz0",
+                   "status": "full sector done; momentum sectors pending",
+                   "dim_full": int(dim_full), "E0_full": E0_full,
+                   "e0_per_site": E0_full / (3 * args.lx * args.ly),
+                   "timings_s": {"enumerate_full": round(t_enum, 1),
+                                 "solve_full": round(t_full, 1)},
+                   "backend": jax.devices()[0].platform}, f, indent=1)
 
     # ---- momentum sectors
     sectors = []
