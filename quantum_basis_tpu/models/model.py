@@ -492,7 +492,13 @@ class Model:
             v0c = (jnp.asarray(re), jnp.asarray(im) if im is not None
                    else None)
             v0c = cx.scale(v0c, 1.0 / float(cx.norm(v0c)))
-            out = lanczos_ground(fs, v0c, maxit=maxit, inner=60,
+            # long unrestarted cycles: restarting every ~60 steps discards
+            # the Krylov subspace each cycle, which for small spectral gaps
+            # (kagome: ~1e-3) turns convergence from ~600 total steps into
+            # ~25 restarted cycles (measured: rnorm stuck at 1.7e-7 after
+            # 2000 matvecs with inner=60; contraction per unrestarted step
+            # is e^{-2 sqrt(gap/spread)})
+            out = lanczos_ground(fs, v0c, maxit=maxit, inner=240,
                                  ckpt_key=(ckpt_key + "_polish"
                                            if ckpt_key else None))
             return [out["E0"]], [out["vector"]]
