@@ -430,14 +430,8 @@ class Model:
                 fs32 = self._fullspace_op(sector, dtype=jnp.float32)
                 if fs32 is not None:
                     cv32 = fs32.is_complex or complex_h
-                    _, v32 = eigs_smallest(
-                        fs32, fs32.N, nev=nev, ncv=ncv_, maxit=maxit,
-                        seed=seed, complex_vec=cv32, mask=fs32.mask,
-                        tol=config.mixed_precision_f32_tol,
-                        ckpt_key=key + "_f32",
-                    )
-                    if v32:
-                        v0 = v32[0]
+                    v0 = self._f32_stage_cached(
+                        fs32, nev, ncv_, maxit, seed, cv32, key)
             if fs is not None:
                 evals, vecs_full = self._solve_fullspace(
                     fs, nev, max(12, 2 * nev + 6), maxit, seed,
@@ -454,6 +448,41 @@ class Model:
         self.eigenvecs_full = vecs[:max(ncv, 1)]
         sector.evals, sector.evecs = list(evals), list(vecs)
         self._e0_sec = sec
+
+    @staticmethod
+    def _f32_stage_cached(fs32, nev, ncv, maxit, seed, complex_vec, key):
+        """f32 Krylov bulk stage with a persisted result record: a
+        preempted/retried run reloads the f32 Ritz vector instead of
+        re-paying the whole stage (cf. the stage bits of ckpt_lczsE0,
+        reference src/model.cc:2521-2749)."""
+        from quantum_basis_tpu import config
+        from quantum_basis_tpu.solvers.restarted import eigs_smallest
+        from quantum_basis_tpu.utils.ckpt import active_store
+
+        store = active_store()
+        rkey = key + "_f32res"
+        if store is not None:
+            rec = store.load(rkey)
+            if rec is not None and rec["re"].shape == (fs32.N,):
+                import jax.numpy as jnp
+
+                re = jnp.asarray(rec["re"])
+                im = jnp.asarray(rec["im"]) if complex_vec else None
+                return (re, im)
+        _, v32 = eigs_smallest(
+            fs32, fs32.N, nev=nev, ncv=ncv, maxit=maxit, seed=seed,
+            complex_vec=complex_vec, mask=fs32.mask,
+            tol=config.mixed_precision_f32_tol, ckpt_key=key + "_f32")
+        if not v32:
+            return None
+        v0 = v32[0]
+        if store is not None:
+            store.save(rkey, {
+                "re": np.asarray(v0[0]),
+                "im": (np.asarray(v0[1]) if v0[1] is not None
+                       else np.zeros(1)),
+            })
+        return v0
 
     @staticmethod
     def _solve_fullspace(fs, nev, ncv, maxit, seed, complex_vec, ckpt_key,
@@ -498,7 +527,7 @@ class Model:
             # ~25 restarted cycles (measured: rnorm stuck at 1.7e-7 after
             # 2000 matvecs with inner=60; contraction per unrestarted step
             # is e^{-2 sqrt(gap/spread)})
-            out = lanczos_ground(fs, v0c, maxit=maxit, inner=240,
+            out = lanczos_ground(fs, v0c, maxit=maxit, inner=120,
                                  ckpt_key=(ckpt_key + "_polish"
                                            if ckpt_key else None))
             return [out["E0"]], [out["vector"]]
@@ -1187,14 +1216,9 @@ class Model:
                 if config.mixed_precision:
                     fs32 = self._fullspace_repr_op(sector, dtype=jnp.float32)
                     if fs32 is not None:
-                        _, v32 = eigs_smallest(
-                            fs32, fs32.N, nev=nev, ncv=ncv_, maxit=maxit,
-                            seed=seed, complex_vec=fs32.is_complex,
-                            tol=config.mixed_precision_f32_tol,
-                            ckpt_key=key + "_f32",
-                        )
-                        if v32:
-                            v0 = v32[0]
+                        v0 = self._f32_stage_cached(
+                            fs32, nev, ncv_, maxit, seed, fs32.is_complex,
+                            key)
                 evals, vecs_full = self._solve_fullspace(
                     fs, nev, ncv_, maxit, seed, fs.is_complex,
                     key + "_krylov", v0)
