@@ -29,6 +29,8 @@ def _load(name):
 
 def main():
     flagship = _load("FLAGSHIP_kagome24.json")
+    flagship_partial = (None if flagship
+                        else _load("FLAGSHIP_kagome24.json.partial"))
     hubbard = _load("HUBBARD4x4.json")
     sqw = _load("SQW_triangular31_tJ.json")
     scaling = _load("SCALING_cpu8.json")
@@ -51,6 +53,12 @@ def main():
             "backend": flagship["backend"],
             "timings_s": flagship["timings_s"],
         }
+    if flagship_partial:
+        published["kagome24_full_sector_partial"] = {
+            k: flagship_partial[k]
+            for k in ("status", "dim_full", "E0_full_best", "residual_norm",
+                      "eigenvalue_error_estimate_quadratic", "e0_per_site",
+                      "backend") if k in flagship_partial}
     if hubbard:
         published["fermi_hubbard_4x4"] = {
             "label_space": hubbard["label_space"],
@@ -111,6 +119,19 @@ def main():
             f"**{ck['min_k_matches_full_1e-10']}**",
             f"- wall: enumerate {t['enumerate_full']}s, full solve "
             f"{t['solve_full']}s, total {t['total']}s", "",
+        ]
+    if flagship_partial:
+        fp = flagship_partial
+        lines += [
+            "## North star (partial): 24-site kagome Heisenberg full "
+            "sector on TPU", "",
+            f"- E0(full Sz=0, dim {fp['dim_full']:,}) = "
+            f"**{fp['E0_full_best']:.12f}** "
+            f"({fp['e0_per_site']:.6f}/site) on {fp['backend']}",
+            f"- Lanczos residual {fp['residual_norm']:.2e} "
+            "(rigorous eigenvalue error bound); quadratic estimate "
+            f"{fp['eigenvalue_error_estimate_quadratic']:.1e}",
+            f"- status: {fp['status']}", "",
         ]
     if hubbard:
         lz = hubbard["lanczos"]
