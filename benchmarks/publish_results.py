@@ -85,7 +85,7 @@ def main():
         published["scaling_virtual8"] = {
             "results": scaling["results"], "caveat": scaling["caveat"]}
 
-    base = _load("BASELINE.json")
+    base = _load("BASELINE.json") or {}
     base["published"] = published
     with open(os.path.join(ROOT, "BASELINE.json"), "w") as f:
         json.dump(base, f, indent=2)

@@ -530,6 +530,24 @@ class Model:
             out = lanczos_ground(fs, v0c, maxit=maxit, inner=120,
                                  ckpt_key=(ckpt_key + "_polish"
                                            if ckpt_key else None))
+            # hard-fail on non-convergence, mirroring eigs_smallest: the
+            # gate is lanczos_ground's own residual threshold (a rigorous
+            # eigenvalue error bound for Hermitian H). Without this check a
+            # maxit-exhausted polish would silently publish an unconverged
+            # E0 into sector.evals.
+            from quantum_basis_tpu.config import lanczos_precision
+
+            r_gate = max(1e3 * lanczos_precision * max(abs(out["E0"]), 1.0),
+                         5e-10)
+            if out["residual"] >= r_gate:
+                err = RuntimeError(
+                    f"full-space Lanczos polish unconverged after "
+                    f"{out['niter']} matvecs: E0={out['E0']:.12f}, "
+                    f"residual {out['residual']:.3e} >= gate {r_gate:.3e} "
+                    f"(checkpoint retained; re-run to resume)")
+                err.E0 = out["E0"]
+                err.residual = out["residual"]
+                raise err
             return [out["E0"]], [out["vector"]]
         return eigs_smallest(fs, fs.N, nev=nev, ncv=ncv, maxit=maxit,
                              seed=seed, complex_vec=complex_vec,

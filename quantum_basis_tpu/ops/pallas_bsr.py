@@ -79,7 +79,11 @@ def bsr_fill_stats(ell, b: int = _B) -> dict:
     rows, cols, vre, _ = _ell_entries(ell)
     nbj = _ceil_to(ell.n, b) // b
     key = (rows // b) * nbj + cols // b
-    nb = np.unique(key).size
+    uniq = np.unique(key)
+    # + one explicit zero block per row tile no stored block maps to
+    # (ell_to_bsr inserts those so every output tile gets written)
+    covered = np.unique(uniq // nbj).size
+    nb = uniq.size + (nbj - covered)
     nnz = rows.size
     stored = nb * b * b
     return {"nnz": int(nnz), "n_blocks": int(nb), "stored": int(stored),
@@ -168,27 +172,37 @@ class BsrMatrix:
 
 
 def ell_to_bsr(ell, interpret: bool = False, dtype=None) -> BsrMatrix:
-    """Convert an :class:`EllMatrix` to BSR (host-side block packing)."""
+    """Convert an :class:`EllMatrix` to BSR (host-side block packing).
+
+    Every output row tile gets at least one stored (possibly zero) block:
+    the grid only writes the tiles its blocks map to, so a row tile with no
+    off-diagonal block would otherwise return whatever was in its HBM/VMEM
+    slot on real hardware (interpret mode zero-fills and hides this).
+    """
     rows, cols, vre, vim = _ell_entries(ell)
     n = ell.n
     nbj = _ceil_to(max(n, 1), _B) // _B
     key = (rows // _B) * nbj + cols // _B
     uniq, inv = np.unique(key, return_inverse=True)
-    nb = max(uniq.size, 1)
+    # cover the row tiles no stored block maps to with explicit zero blocks
+    covered = np.unique(uniq // nbj) if uniq.size else np.empty(0, np.int64)
+    missing = np.setdiff1d(np.arange(nbj, dtype=np.int64), covered)
+    nb = uniq.size + missing.size
     dt = np.dtype(dtype) if dtype is not None else np.asarray(ell.vre).dtype
     blocks_re = np.zeros((nb, _B, _B), dtype=np.float64)
+    all_bi = np.concatenate([uniq // nbj, missing])
+    all_bj = np.concatenate([uniq % nbj, np.zeros(missing.size, np.int64)])
+    order = np.lexsort((all_bj, all_bi))
+    rank = np.empty(nb, dtype=np.int64)
+    rank[order] = np.arange(nb)
     if uniq.size:
-        np.add.at(blocks_re, (inv, rows % _B, cols % _B), vre)
+        np.add.at(blocks_re, (rank[inv], rows % _B, cols % _B), vre)
     blocks_im = None
     if vim is not None and np.any(np.abs(vim) > 0.0):
         blocks_im = np.zeros((nb, _B, _B), dtype=np.float64)
-        np.add.at(blocks_im, (inv, rows % _B, cols % _B), vim)
-    if uniq.size:
-        out_bi = (uniq // nbj).astype(np.int32)
-        out_bj = (uniq % nbj).astype(np.int32)
-    else:
-        out_bi = np.zeros(1, dtype=np.int32)
-        out_bj = np.zeros(1, dtype=np.int32)
+        np.add.at(blocks_im, (rank[inv], rows % _B, cols % _B), vim)
+    out_bi = all_bi[order].astype(np.int32)
+    out_bj = all_bj[order].astype(np.int32)
     return BsrMatrix(n, blocks_re.astype(dt),
                      None if blocks_im is None else blocks_im.astype(dt),
                      out_bi, out_bj, np.asarray(ell.diag),

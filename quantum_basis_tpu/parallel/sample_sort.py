@@ -87,6 +87,11 @@ def sample_sort_sharded(x_shards: np.ndarray, mesh, axis: str = "b",
             split_axis=0, concat_axis=0, tiled=False).reshape(-1)
         merged = jax.lax.sort(recv.reshape(-1))[:capacity * P]
         total = jnp.sum(recv_counts)
+        # receive-side overflow: a shard may receive up to P buckets each
+        # <= capacity (e.g. heavily duplicated keys all routing here), but
+        # only `capacity` slots survive the truncation below — that must
+        # trip the retry/raise path, not silently drop elements.
+        over = over | (total > capacity)
         over_any = jax.lax.pmax(over, axis)
         return (merged[None, :capacity], total[None], over_any[None])
 

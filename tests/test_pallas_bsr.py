@@ -107,3 +107,44 @@ def test_bsr_ground_state_through_kernel():
     e_bsr = lanczos_ground(bsr, v0, maxit=300)["E0"]
     e_ell = lanczos_ground(ell, v0, maxit=300)["E0"]
     assert abs(e_bsr - e_ell) < 1e-9
+
+
+def test_bsr_covers_rowtiles_without_blocks():
+    """Row tiles with no off-diagonal block must still be written (zero
+    blocks are inserted) — on real hardware an unvisited output tile holds
+    garbage; interpret mode hides that, so assert the coverage directly."""
+    from quantum_basis_tpu.ops.sparse import EllMatrix
+
+    n = 520  # 5 row tiles (last partial)
+    # single off-diagonal entry, confined to tile (0, 0)
+    cols = np.zeros((n, 1), dtype=np.int64)
+    vre = np.zeros((n, 1))
+    cols[3, 0] = 7
+    vre[3, 0] = 2.5
+    diag = np.arange(n, dtype=np.float64)
+    ell = EllMatrix(cols, vre, None, diag)
+    bsr = ell_to_bsr(ell, interpret=True)
+    bi = np.asarray(bsr._bi)
+    assert set(bi.tolist()) == set(range(-(-n // 128))), bi
+    # first flag marks each new row tile exactly once
+    first = np.asarray(bsr._first)
+    assert first.sum() == -(-n // 128)
+    x = _rand_cvec(n, False)
+    _close(bsr(x), ell(x))
+    st = bsr_fill_stats(ell)
+    assert st["n_blocks"] == bsr.nb == 5
+
+
+def test_bsr_diagonal_only_matrix():
+    """Purely diagonal H: every row tile is a coverage zero block."""
+    from quantum_basis_tpu.ops.sparse import EllMatrix
+
+    n = 300
+    cols = np.zeros((n, 0), dtype=np.int64)
+    vre = np.zeros((n, 0))
+    diag = np.linspace(-1.0, 1.0, n)
+    ell = EllMatrix(cols, vre, None, diag)
+    bsr = ell_to_bsr(ell, interpret=True)
+    assert bsr.nb == -(-n // 128)
+    x = _rand_cvec(n, False)
+    _close(bsr(x), ell(x))

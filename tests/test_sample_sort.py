@@ -53,3 +53,21 @@ def test_sample_sort_labels_roundtrip():
     np.random.default_rng(0).shuffle(shuffled)
     out = sample_sort(shuffled, mesh)
     np.testing.assert_array_equal(out, labels)
+
+
+def test_sample_sort_receive_overflow_is_loud():
+    """All-equal keys route every element to ONE shard: no send bucket
+    overflows, but the receiver gets P full buckets. That must trip the
+    overflow flag (-> retry -> RuntimeError), never silently drop data."""
+    mesh = basis_mesh(8)
+    vals = np.full(2048, 42, dtype=np.int64)
+    with pytest.raises(RuntimeError, match="overflow"):
+        sample_sort(vals, mesh, slack=2.5)
+
+
+def test_sample_sort_duplicates_with_enough_slack():
+    """Same routing skew, but capacity >= n: must sort correctly."""
+    mesh = basis_mesh(8)
+    vals = np.full(512, 7, dtype=np.int64)
+    out = sample_sort(vals, mesh, slack=8.0)
+    np.testing.assert_array_equal(out, np.sort(vals))

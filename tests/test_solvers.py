@@ -1,6 +1,7 @@
 """Krylov solver tests against dense eigensolves."""
 
 import numpy as np
+import pytest
 
 from quantum_basis_tpu.basis.enumerate import enumerate_basis
 from quantum_basis_tpu.basis.site_basis import SiteBasis
@@ -88,3 +89,34 @@ def test_energy_scale_bounds():
     re, _ = vec_randomize(n, seed=2)
     lo, hi = energy_scale(mv, (jnp.asarray(re), None), m_steps=60)
     assert lo <= evals[0] and hi >= evals[-1]
+
+
+def test_fullspace_polish_unconverged_raises(monkeypatch):
+    """The large-N polish path must hard-fail (not silently publish a bad
+    E0) when lanczos_ground exhausts maxit above its residual gate."""
+    import jax.numpy as jnp
+
+    import quantum_basis_tpu.models.model as mm
+    from quantum_basis_tpu.ops.apply_fullspace import FullSpaceOp
+    from tests.models_zoo import heisenberg_chain
+
+    m, c = heisenberg_chain(12, "1/2")
+    m.enumerate_basis_full([c["Sz"]], [0.0])
+    s = m.sec_full[0]
+    fs = FullSpaceOp(m.compiled_Ham, s.labels)
+    monkeypatch.setattr(mm, "_POLISH_N", 1)  # force the polish branch
+    # deterministic unconverged outcome: stub the inner solver
+    import quantum_basis_tpu.solvers.lanczos as lz
+
+    def fake_ground(fs_, v0_, **kw):
+        return {"E0": -5.0, "niter": kw.get("maxit", 0), "residual": 1e-5,
+                "residual_bound": 1e-5, "alphas": None, "betas": None,
+                "vector": v0_}
+
+    monkeypatch.setattr(lz, "lanczos_ground", fake_ground)
+    rng = np.random.default_rng(5)
+    v0 = (jnp.asarray(rng.normal(size=fs.N) * np.asarray(fs.mask)), None)
+    with pytest.raises(RuntimeError, match="unconverged") as ei:
+        mm.Model._solve_fullspace(fs, nev=1, ncv=12, maxit=5, seed=1,
+                                  complex_vec=False, ckpt_key=None, v0=v0)
+    assert hasattr(ei.value, "E0") and hasattr(ei.value, "residual")
