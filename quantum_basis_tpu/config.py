@@ -17,14 +17,27 @@ import jax
 # eagerly at import so every module traces with x64 semantics.
 jax.config.update("jax_enable_x64", True)
 
-# Honor JAX_PLATFORMS even when a site customization pre-registered another
-# platform plugin at interpreter start (which pins the platform and makes the
-# env var alone insufficient); config.update still wins before first backend
-# use. Without this, `JAX_PLATFORMS=cpu python driver.py` on a TPU host
-# silently dispatches to the (possibly tunneled, slow) accelerator.
-if os.environ.get("JAX_PLATFORMS"):
+# Platform selection on hosts with a pre-registered accelerator plugin.
+# The axon sitecustomize prepends itself to the platform list at interpreter
+# start (env JAX_PLATFORMS=cpu -> config "axon,cpu", so the chip still wins).
+# Re-assert the env var ONLY in that plugin-prepended form — an explicit
+# in-process ``jax.config.update("jax_platforms", ...)`` (which leaves no
+# plugin prefix) must NOT be clobbered: blindly re-applying the env here
+# silently redirected "CPU" validation runs onto the tunneled chip.
+# QBX_PLATFORM remains an unconditional override.
+_envp = os.environ.get("QBX_PLATFORM") or ""
+if not _envp:
+    _want = os.environ.get("JAX_PLATFORMS") or ""
+    if _want:
+        try:
+            _cur = jax.config.jax_platforms or ""
+        except Exception:  # pragma: no cover - very old jax
+            _cur = ""
+        if _cur != _want and _cur.split(",", 1)[-1] == _want:
+            _envp = _want
+if _envp:
     try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", _envp)
     except Exception:  # backend already initialized: too late, keep going
         pass
 

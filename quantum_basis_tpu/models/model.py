@@ -420,11 +420,11 @@ class Model:
             fs = self._fullspace_op(sector)
             ncv_ = max(12, 2 * nev + 6)
             v0 = None
+            fs32 = None
             if fs is not None and config.mixed_precision:
                 # mixed-precision stage 1 (SURVEY §7.2 #2): bulk Krylov in
                 # f32 on the contraction engine; its Ritz vector warm-starts
-                # the f64 polish below, which typically converges in one or
-                # two restarts
+                # the f64 polish below (RQI when fs32 exists)
                 import jax.numpy as jnp
 
                 fs32 = self._fullspace_op(sector, dtype=jnp.float32)
@@ -435,7 +435,8 @@ class Model:
             if fs is not None:
                 evals, vecs_full = self._solve_fullspace(
                     fs, nev, max(12, 2 * nev + 6), maxit, seed,
-                    fs.is_complex or complex_h, key + "_krylov", v0)
+                    fs.is_complex or complex_h, key + "_krylov", v0,
+                    fs32=fs32)
                 vecs = [fs.to_sector(v) for v in vecs_full]
             else:
                 evals, vecs = eigs_smallest(
@@ -486,17 +487,19 @@ class Model:
 
     @staticmethod
     def _solve_fullspace(fs, nev, ncv, maxit, seed, complex_vec, ckpt_key,
-                         v0):
+                         v0, fs32=None):
         """Full-space sector solve: thick restart, or — warm-started at
-        large N — the 2-vector Lanczos polish.
+        large N — the mixed-precision RQI polish.
 
         The thick-restart basis holds ncv+1 full-space rows; with emulated
         f64 on TPU its CGS2 matmuls at N = 2^24 generate multi-GiB XLA
         temps (measured 26 GiB on a 16 GiB chip). Past ``_POLISH_N`` the
-        f64 stage therefore runs the rolling 2-vector kernel
-        (solvers/lanczos.py, the reference's own sr_val0 design,
-        src/lanczos.cc:193-264) from the f32 stage's Ritz vector — 3
-        full-space vectors total, no basis buffer.
+        f64 stage therefore runs at 3-4 full-space f64 vectors: the
+        Jacobi-Davidson RQI polish (solvers/rqi.py — f64 residuals, f32
+        correction solves) when the f32 engine twin is available, else the
+        rolling 2-vector Lanczos kernel (solvers/lanczos.py, the
+        reference's own sr_val0 design, src/lanczos.cc:193-264), both from
+        the f32 stage's Ritz vector.
         """
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 
@@ -521,6 +524,21 @@ class Model:
             v0c = (jnp.asarray(re), jnp.asarray(im) if im is not None
                    else None)
             v0c = cx.scale(v0c, 1.0 / float(cx.norm(v0c)))
+            if fs32 is not None:
+                from quantum_basis_tpu.solvers.restarted import _solver_log
+                from quantum_basis_tpu.solvers.rqi import rqi_polish
+
+                out = rqi_polish(
+                    fs, v0c, fs32=fs32,
+                    ckpt_key=(ckpt_key + "_rqi" if ckpt_key else None),
+                    log=lambda i, th, rn, ni: _solver_log(
+                        "rqi", i, [th], [rn]))
+                if out["converged"]:
+                    return [out["E0"]], [out["vector"]]
+                # RQI stalled (e.g. f32 gap resolution): fall back to the
+                # f64 2-vector kernel warm-started from its best iterate
+                v0c = out["vector"]
+                v0c = cx.scale(v0c, 1.0 / float(cx.norm(v0c)))
             # long unrestarted cycles: restarting every ~60 steps discards
             # the Krylov subspace each cycle, which for small spectral gaps
             # (kagome: ~1e-3) turns convergence from ~600 total steps into
@@ -1231,6 +1249,7 @@ class Model:
                 import jax.numpy as jnp
 
                 v0 = None
+                fs32 = None
                 if config.mixed_precision:
                     fs32 = self._fullspace_repr_op(sector, dtype=jnp.float32)
                     if fs32 is not None:
@@ -1239,7 +1258,7 @@ class Model:
                             key)
                 evals, vecs_full = self._solve_fullspace(
                     fs, nev, ncv_, maxit, seed, fs.is_complex,
-                    key + "_krylov", v0)
+                    key + "_krylov", v0, fs32=fs32)
                 vecs = [sector.dbasis.from_full(v) for v in vecs_full]
             else:
                 evals, vecs = eigs_smallest(

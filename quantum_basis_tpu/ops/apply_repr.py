@@ -116,7 +116,9 @@ class ReprBasis:
         re, im = x_full
         cr = re[idx].astype(jnp.float64) * w
         ci = im[idx].astype(jnp.float64) * w if im is not None else None
-        nrm = jnp.sqrt(jnp.vdot(cr, cr) + (jnp.vdot(ci, ci)
+        # sum-based dot: f64 vdot on TPU may lower to an inaccurate
+        # dot_general emulation (see ops/cplx.py)
+        nrm = jnp.sqrt(jnp.sum(cr * cr) + (jnp.sum(ci * ci)
                                            if ci is not None else 0.0))
         inv = 1.0 / jnp.maximum(nrm, 1e-300)
         return (cr * inv, ci * inv if ci is not None else None)

@@ -3,11 +3,26 @@
 TPU v5e has no complex128; all device numerics carry (re, im) pairs of
 float64 arrays, with ``im=None`` for real sectors (real symmetric H). These
 helpers keep solver code readable. A "cvec" is the tuple (re, im_or_None).
+
+f64 dot products here go through elementwise-multiply + reduce, NOT
+``jnp.vdot``/``dot_general``: on the TPU backend an f64 dot_general lowers
+to an MXU emulation with only ~1e-10 relative accuracy (measured; ~1e-8
+when fused with upstream compute), silently capping every solver's
+achievable residual. The reduce path lowers to exact f64 VPU ops
+(measured ~1e-15 in and out of fusion). f32 vectors keep ``jnp.vdot`` —
+the MXU fast path is the point of the f32 engine.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def _dot(a, b):
+    """Sum(a*b) with f64-safe lowering (see module docstring)."""
+    if a.dtype == jnp.float64:
+        return jnp.sum(a * b)
+    return jnp.vdot(a, b)
 
 
 def is_real(x):
@@ -53,13 +68,36 @@ def axpy(a, x, y):
     return (yr + a * xr, im)
 
 
+def caxpy(a, x, y):
+    """y + a*x with split-complex scalar a = (ar, ai_or_None)."""
+    ar, ai = a
+    xr, xi = x
+    yr, yi = y
+    rr = yr + ar * xr
+    ri = yi
+    if ai is not None:
+        rr = rr - ai * (xi if xi is not None else 0.0)
+    if xi is not None or ai is not None or yi is not None:
+        ri = (yi if yi is not None else 0.0) \
+            + ar * (xi if xi is not None else 0.0)
+        if ai is not None:
+            ri = ri + ai * xr
+    return (rr, ri)
+
+
+def project_out_one(d, x):
+    """x - <d, x> d (one-direction Gram-Schmidt, split-complex)."""
+    cr, ci = vdot(d, x)
+    return caxpy((-cr, None if ci is None else -ci), d, x)
+
+
 def vdot_re(x, y):
     """Re <x, y> (conjugate-linear in x)."""
     xr, xi = x
     yr, yi = y
-    out = jnp.vdot(xr, yr)
+    out = _dot(xr, yr)
     if xi is not None and yi is not None:
-        out = out + jnp.vdot(xi, yi)
+        out = out + _dot(xi, yi)
     return out
 
 
@@ -67,13 +105,13 @@ def vdot(x, y):
     """<x, y> = (re, im) with im possibly None."""
     xr, xi = x
     yr, yi = y
-    re = jnp.vdot(xr, yr)
+    re = _dot(xr, yr)
     im = None
     if xi is not None or yi is not None:
-        xi_ = 0.0 if xi is None else xi
-        yi_ = 0.0 if yi is None else yi
-        re = re + jnp.vdot(xi_, yi_)
-        im = jnp.vdot(xr, yi_) - jnp.vdot(xi_, yr)
+        xi_ = jnp.zeros_like(xr) if xi is None else xi
+        yi_ = jnp.zeros_like(yr) if yi is None else yi
+        re = re + _dot(xi_, yi_)
+        im = _dot(xr, yi_) - _dot(xi_, yr)
     return re, im
 
 

@@ -47,9 +47,34 @@ class _DeviceOps:
         # ~2.5e-3 relative error would destroy Krylov orthogonality)
         prec = (jax.lax.Precision.HIGHEST
                 if self.dtype == jnp.dtype(jnp.float32) else None)
+        f64 = self.dtype == jnp.dtype(jnp.float64)
 
         def mm(a, b):
+            """a @ b — f64 goes through broadcast-multiply + reduce, not
+            dot_general: the TPU f64 dot_general emulation delivers only
+            ~1e-10 relative accuracy (~1e-8 fused), which caps CGS2
+            orthogonality and silently stalls convergence above the f64
+            solver tolerance (see ops/cplx.py module docstring). The
+            reduce lowering is exact-f64 on the VPU; for the (ncv+1, N)
+            shapes here it is bandwidth-bound either way."""
+            if not f64:
+                return jnp.matmul(a, b, precision=prec)
+            if a.ndim == 2 and b.ndim == 1:          # (rows, N) @ (N,)
+                return jnp.sum(a * b[None, :], axis=1)
+            if a.ndim == 1 and b.ndim == 2:          # (rows,) @ (rows, N)
+                return jnp.sum(a[:, None] * b, axis=0)
+            if a.ndim == 2 and b.ndim == 2:          # (keep, rows) @ (rows, N)
+                # row-at-a-time: each row is one fused multiply+reduce; a
+                # broadcast 3-d form would stage a (keep, rows, N) temp
+                return jax.lax.map(
+                    lambda row: jnp.sum(row[:, None] * b, axis=0), a)
             return jnp.matmul(a, b, precision=prec)
+
+        def vv(a, b):
+            """<a, b> with the same f64-safe lowering."""
+            if f64:
+                return jnp.sum(a * b)
+            return jnp.vdot(a, b, precision=prec)
 
         def proj(Vre, Vim, wr, wi, mask):
             """h = V^dagger w (masked rows): returns (hr, hi).
@@ -115,8 +140,8 @@ class _DeviceOps:
             yr, yi = subtract(Vre, Vim, yr, yi, h2r, h2i, mask)
             hr = h1r + h2r
             hi = (h1i + h2i) if self.cplx else jnp.zeros_like(h1r)
-            b = jnp.sqrt(jnp.vdot(yr, yr, precision=prec)
-                         + (jnp.vdot(yi, yi, precision=prec) if self.cplx else 0.0))
+            b = jnp.sqrt(vv(yr, yr)
+                         + (vv(yi, yi) if self.cplx else 0.0))
             inv = jnp.where(b > _BREAKDOWN, 1.0 / jnp.maximum(b, _BREAKDOWN), 0.0)
             Vre = _set_row(Vre, j + 1, yr * inv)
             if self.cplx:
@@ -146,8 +171,8 @@ class _DeviceOps:
             rr, ri = subtract(Vre, Vim, rr, ri, h1r, h1i, mask)
             h2r, h2i = proj(Vre, Vim, rr, ri, mask)
             rr, ri = subtract(Vre, Vim, rr, ri, h2r, h2i, mask)
-            b = jnp.sqrt(jnp.vdot(rr, rr, precision=prec)
-                         + (jnp.vdot(ri, ri, precision=prec) if self.cplx else 0.0))
+            b = jnp.sqrt(vv(rr, rr)
+                         + (vv(ri, ri) if self.cplx else 0.0))
             inv = 1.0 / jnp.maximum(b, _BREAKDOWN)
             Vre = _set_row(Vre, row, rr * inv)
             if self.cplx:

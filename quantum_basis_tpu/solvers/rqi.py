@@ -1,0 +1,228 @@
+"""Mixed-precision Rayleigh-quotient iteration (Jacobi-Davidson polish).
+
+The f64 eigenpair polish used above ``_POLISH_N`` — the TPU-first successor
+of the reference's CG eigenvector refinement (``eigenvec_CG``,
+reference src/lanczos.cc:281-341). The reference runs its whole refinement
+in double; on TPU emulated f64 is ~8x slower per apply than the f32 window
+contraction engine, so this solver splits the work by precision instead:
+
+- one f64 matvec per OUTER iteration evaluates the Rayleigh quotient
+  theta = <x|H|x> and the exact residual r = Hx - theta x (the rigorous
+  eigenvalue error bound |theta - lambda| <= ||r|| for Hermitian H);
+- the INNER loop approximately solves the Jacobi-Davidson correction
+  equation  (I - xx*)(H - theta)(I - xx*) t = r  with projected CG running
+  entirely on the f32 engine. Restricted to the complement of x near
+  convergence, H - theta is positive definite (smallest eigenvalue ~ the
+  spectral gap), so plain CG applies; negative curvature from f32 noise or
+  a not-yet-converged theta just terminates the inner solve early with a
+  partial (still useful) correction.
+
+The update x <- normalize(x - t) is applied in f64; the correction t only
+needs RELATIVE f32 accuracy (it is solved against the normalized residual
+and scaled back), so the final attainable residual is set by the f64 outer
+evaluation, not by f32 — the standard inexact-RQI/JD argument. Per outer
+iteration the residual contracts by roughly the inner solve's relative
+accuracy, so a warm f32 Ritz start (residual ~1e-4) reaches 1e-9..1e-10 in
+a handful of outer f64 applies + a few hundred f32 applies each — minutes
+instead of the hours the pure-f64 restarted Lanczos needed on the
+small-gap flagship (kagome-24: measured stall at rnorm 1.7e-7).
+
+Momentum sectors work unchanged: ``ProjectedFullOp.apply`` re-projects
+P_k after every H application, so CG iterates stay in the sector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quantum_basis_tpu.config import lanczos_precision
+from quantum_basis_tpu.ops import cplx as cx
+
+_TINY = 1e-300
+
+
+def _make_outer(fs64, complex_vec):
+    """jit: x -> (theta, normalized x, residual r, ||r||), all f64."""
+    import jax
+    import jax.numpy as jnp
+
+    def outer(params, xr, xi):
+        x = (xr, xi if complex_vec else None)
+        x = cx.scale(x, 1.0 / jnp.maximum(cx.norm(x), _TINY))
+        y = fs64.apply(params, x)
+        if complex_vec and y[1] is None:
+            y = (y[0], jnp.zeros_like(y[0]))
+        th = cx.vdot_re(x, y)
+        r = cx.axpy(-th, x, y)
+        z = jnp.zeros((1,), xr.dtype)
+        return (th, x[0], x[1] if complex_vec else z,
+                r[0], r[1] if complex_vec else z, cx.norm(r))
+
+    return jax.jit(outer)
+
+
+def _make_inner(fs32, complex_vec):
+    """jit: projected-CG solve of (I-xx*)(H32 - theta)(I-xx*) t = b.
+
+    ``b`` is normalized inside; the returned t is for the NORMALIZED rhs
+    (the caller rescales). ``nsteps`` arrives traced so changing the inner
+    budget reuses the executable. Returns (t_re, t_im, rel_res, k).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def pair(r, i):
+        return (r, i if complex_vec else None)
+
+    def proj(x_ref, v):
+        return cx.project_out_one(x_ref, v) if complex_vec else \
+            cx.axpy(-cx.vdot_re(x_ref, v), x_ref, v)
+
+    def inner(p32, xr, xi, br, bi, th32, nsteps):
+        x_ref = pair(xr, xi)
+        b = proj(x_ref, pair(br, bi))
+        bn = cx.norm(b)
+        b = cx.scale(b, 1.0 / jnp.maximum(bn, _TINY))
+
+        def Aop(v):
+            y = fs32.apply(p32, v)
+            if complex_vec and y[1] is None:
+                y = (y[0], jnp.zeros_like(y[0]))
+            y = cx.axpy(-th32, v, y)
+            return proj(x_ref, y)
+
+        t0 = cx.zeros_like(b)
+        rs0 = cx.vdot_re(b, b)
+
+        def cond(c):
+            k, _, _, _, rs, done = c
+            return (k < nsteps) & (~done)
+
+        def body(c):
+            k, t, r, p, rs, _ = c
+            Ap = Aop(p)
+            pAp = cx.vdot_re(p, Ap)
+            ok = pAp > 1e-30
+            alpha = jnp.where(ok, rs / jnp.maximum(pAp, 1e-30), 0.0)
+            t2 = cx.axpy(alpha, p, t)
+            r2 = cx.axpy(-alpha, Ap, r)
+            rs2 = cx.vdot_re(r2, r2)
+            beta = jnp.where(ok, rs2 / jnp.maximum(rs, 1e-30), 0.0)
+            p2 = cx.axpy(beta, p, r2)
+            # b is unit: rs2 IS the squared relative residual. 1e-10 is
+            # below anything f32 can reach — the loop runs to nsteps or
+            # negative curvature.
+            done = (~ok) | (rs2 < 1e-10)
+            return (k + 1, t2, r2, p2, rs2, done)
+
+        k, t, r, p, rs, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, b, b, rs0, jnp.asarray(False)))
+        z = jnp.zeros((1,), br.dtype)
+        return (t[0], t[1] if complex_vec else z, jnp.sqrt(rs), k, bn)
+
+    return jax.jit(inner)
+
+
+def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
+               inner: int = 240, inner_max: int = 1920, ckpt_key=None,
+               log=None):
+    """Polish eigenpair ``v0`` of ``fs64`` to f64 residual tolerance.
+
+    fs64/fs32: full-space operators (.apply/.params protocol) in f64/f32;
+    fs32 is required (this solver IS the mixed-precision path — callers
+    without an f32 twin use lanczos_ground instead).
+
+    Returns dict with E0, vector, residual (exact f64 ||Hx - E0 x||),
+    converged, n_outer, n_inner (total f32 matvecs).
+    """
+    import jax.numpy as jnp
+
+    assert fs32 is not None, "rqi_polish requires the f32 engine twin"
+    complex_vec = (v0[1] is not None) or bool(getattr(fs64, "is_complex",
+                                                      False))
+    outer_fn = _make_outer(fs64, complex_vec)
+    inner_fn = _make_inner(fs32, complex_vec)
+    p64, p32 = fs64.params, fs32.params
+
+    def as_f64(v):
+        return (jnp.asarray(v[0], jnp.float64),
+                jnp.asarray(v[1], jnp.float64)
+                if complex_vec and v[1] is not None else
+                (jnp.zeros_like(jnp.asarray(v[0], jnp.float64))
+                 if complex_vec else None))
+
+    xr, xi = as_f64(v0)
+    z64 = jnp.zeros((1,), jnp.float64)
+    if xi is None:
+        xi = z64
+
+    from quantum_basis_tpu.utils.ckpt import active_store
+
+    store = active_store() if ckpt_key else None
+    n_outer0 = 0
+    if store is not None:
+        rec = store.load(ckpt_key)
+        if rec is not None and rec["x_re"].shape == np.asarray(xr).shape:
+            xr = jnp.asarray(rec["x_re"])
+            if complex_vec:
+                xi = jnp.asarray(rec["x_im"])
+            n_outer0 = min(int(rec["outer"]), max_outer - 1)
+
+    best = None  # (rnorm, theta, x_re, x_im)
+    n_inner_tot = 0
+    cur_inner = int(inner)
+    prev_rn = None
+    theta = None
+    it = n_outer0
+    for it in range(n_outer0, max_outer):
+        th, nxr, nxi, rr, ri, rn_dev = outer_fn(p64, xr, xi)
+        theta, rn = float(th), float(rn_dev)
+        xr, xi = nxr, nxi
+        if tol is None:
+            tol = max(1e3 * lanczos_precision * max(abs(theta), 1.0), 5e-10)
+        if log is not None:
+            log(it, theta, rn, cur_inner)
+        if best is None or rn < best[0]:
+            best = (rn, theta, xr, xi)
+        if store is not None:
+            store.save(ckpt_key, {
+                "x_re": np.asarray(best[2]),
+                "x_im": (np.asarray(best[3]) if complex_vec
+                         else np.zeros(1)),
+                "theta": best[1], "rnorm": best[0], "outer": it + 1,
+            })
+        if rn < tol:
+            break
+        if prev_rn is not None and rn > 0.5 * prev_rn:
+            # outer contraction stalling -> buy a more accurate correction
+            cur_inner = min(2 * cur_inner, inner_max)
+        prev_rn = rn
+        t_re, t_im, rel, k_dev, bn = inner_fn(
+            p32, jnp.asarray(xr, jnp.float32),
+            jnp.asarray(xi, jnp.float32) if complex_vec
+            else jnp.zeros((1,), jnp.float32),
+            jnp.asarray(rr, jnp.float32),
+            jnp.asarray(ri, jnp.float32) if complex_vec
+            else jnp.zeros((1,), jnp.float32),
+            jnp.float32(theta), jnp.int32(cur_inner))
+        n_inner_tot += int(k_dev)
+        # x <- x - t*||b32||  (t solved against the normalized rhs)
+        s = float(bn)
+        xr = xr - s * jnp.asarray(t_re, jnp.float64)
+        if complex_vec:
+            xi = xi - s * jnp.asarray(t_im, jnp.float64)
+
+    rn, theta, xr, xi = best
+    converged = rn < (tol if tol is not None else np.inf)
+    if store is not None and converged:
+        store.delete(ckpt_key)
+    vec = (xr, xi if complex_vec else None)
+    return {
+        "E0": theta,
+        "vector": vec,
+        "residual": rn,
+        "residual_bound": rn,
+        "converged": bool(converged),
+        "n_outer": it + 1,
+        "n_inner": n_inner_tot,
+    }
