@@ -3,10 +3,12 @@ construction, and sharded operator apply."""
 
 from quantum_basis_tpu.parallel.mesh import basis_mesh
 from quantum_basis_tpu.parallel.apply_sharded import MatvecSharded
+from quantum_basis_tpu.parallel.halo_sharded import EllShardedHalo
 from quantum_basis_tpu.parallel.distributed import (global_basis_mesh,
                                                     init_distributed,
                                                     process_info,
                                                     shard_array_over_mesh)
 
-__all__ = ["basis_mesh", "MatvecSharded", "init_distributed",
+__all__ = ["basis_mesh", "MatvecSharded", "EllShardedHalo",
+           "init_distributed",
            "global_basis_mesh", "process_info", "shard_array_over_mesh"]
