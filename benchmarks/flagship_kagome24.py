@@ -126,19 +126,25 @@ def main():
             print(f"E0(k=({kx},{ky})) = {e0k:.12f}  dim {dim_k}  "
                   f"[enum {t_enum_k:.1f}s solve {t_k:.1f}s]", flush=True)
 
-    # ---- checks
+    # ---- checks. Hard criteria: the sector dims resolve the identity and
+    # min_k E0 equals the full-sector E0 at 1e-10 (two independent
+    # algorithms). The k=0 comparison is reported but only enforced when
+    # the ground state actually lives at k=0 — for an asymmetric cluster
+    # (2x4) the GS momentum is a RESULT, not an assumption.
     sum_dims = sum(s["dim"] for s in sectors)
     e0_min = min(s["E0"] for s in sectors)
+    k_gs = min(sectors, key=lambda s: s["E0"])["k"]
     e0_k0 = next(s["E0"] for s in sectors if s["k"] == [0, 0])
     ok_dims = sum_dims == dim_full
-    ok_k0 = abs(e0_k0 - E0_full) < 1e-10 * max(1.0, abs(E0_full))
     ok_min = abs(e0_min - E0_full) < 1e-10 * max(1.0, abs(E0_full))
+    k0_match = abs(e0_k0 - E0_full) < 1e-10 * max(1.0, abs(E0_full))
     print(f"sum_k dim = {sum_dims} vs full {dim_full}: "
           f"{'OK' if ok_dims else 'MISMATCH'}")
-    print(f"E0(k=0) - E0(full) = {e0_k0 - E0_full:.3e}: "
-          f"{'OK' if ok_k0 else 'MISMATCH'}")
-    print(f"min_k E0 - E0(full) = {e0_min - E0_full:.3e}: "
+    print(f"min_k E0 - E0(full) = {e0_min - E0_full:.3e} at k={k_gs}: "
           f"{'OK' if ok_min else 'MISMATCH'}")
+    print(f"E0(k=0) - E0(full) = {e0_k0 - E0_full:.3e} "
+          f"({'GS at k=0' if k0_match else 'GS at nonzero k'})")
+    ok_k0 = k0_match or (k_gs != [0, 0] and ok_min)
 
     out = {
         "workload": f"kagome_heisenberg_{args.lx}x{args.ly}_Sz0",
@@ -147,7 +153,9 @@ def main():
         "E0_full": E0_full,
         "e0_per_site": E0_full / (3 * args.lx * args.ly),
         "sectors": sectors,
-        "checks": {"sum_dims": ok_dims, "k0_matches_full_1e-10": ok_k0,
+        "checks": {"sum_dims": ok_dims,
+                   "k0_matches_full_1e-10": k0_match,
+                   "gs_momentum": k_gs,
                    "min_k_matches_full_1e-10": ok_min},
         "timings_s": {"enumerate_full": round(t_enum, 1),
                       "solve_full": round(t_full, 1),

@@ -4,17 +4,30 @@
 # The remote-dispatch path can wedge indefinitely at an arbitrary call
 # (observed: process CPU time frozen while blocked in an RPC). With
 # checkpointing enabled the flagship resumes past completed work, so the
-# recovery policy is: detect a frozen process (CPU time unchanged for
-# STALL_S seconds), kill it, wait for the tunnel to quiesce, relaunch.
+# recovery policy is: detect a frozen process, kill it, wait for the
+# tunnel to quiesce, relaunch.
+#
+# "Frozen" = no progress for STALL_S seconds, where progress is EITHER
+# host CPU time advancing OR any solver/checkpoint/log file advancing
+# (out_logs/, out_Qckpt/, the run log): long device-side phases (large
+# remote compiles, multi-GB device pulls) burn no host CPU while healthy,
+# and the solver logs tick every restart — CPU alone false-killed a
+# healthy momentum-sector solve (round-4, 07:06 UTC).
 #
 # Usage: bash benchmarks/run_flagship_watchdog.sh [max_attempts]
 set -u
 MAX_ATTEMPTS=${1:-12}
-STALL_S=${STALL_S:-420}
+STALL_S=${STALL_S:-900}
 LOG=${LOG:-/tmp/flagship24.log}
 
-cputime() {  # jiffies of utime+stime for pid $1 (0 if gone)
+cputime() {  # jiffies of utime+stime for pid $1 (empty if gone)
   awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo ""
+}
+
+progress_stamp() {  # newest mtime across progress files (0 if none)
+  local m
+  m=$(stat -c %Y out_logs/*.txt out_Qckpt/* "$LOG" 2>/dev/null | sort -n | tail -1)
+  echo "${m:-0}"
 }
 
 for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
@@ -22,19 +35,18 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
   python -u benchmarks/flagship_kagome24.py --lx 2 --ly 4 \
       --out FLAGSHIP_kagome24.json >> "$LOG" 2>&1 &
   PID=$!
-  # stalled = less than MIN_JIFFIES (~0.5 s) of CPU progress across a
-  # STALL_S window; exact-equality tests are defeated by background
-  # threads ticking a few jiffies while the main thread blocks in an RPC
   MIN_JIFFIES=${MIN_JIFFIES:-50}
-  win_cpu=$(cputime "$PID"); win_start=$(date +%s)
+  win_cpu=$(cputime "$PID"); win_files=$(progress_stamp); win_start=$(date +%s)
   while kill -0 "$PID" 2>/dev/null; do
     sleep 30
-    now=$(cputime "$PID")
-    [ -z "$now" ] && break
-    if [ $(( now - win_cpu )) -ge "$MIN_JIFFIES" ]; then
-      win_cpu=$now; win_start=$(date +%s)
+    now_cpu=$(cputime "$PID")
+    [ -z "$now_cpu" ] && break
+    now_files=$(progress_stamp)
+    if [ $(( now_cpu - win_cpu )) -ge "$MIN_JIFFIES" ] \
+        || [ "$now_files" -gt "$win_files" ]; then
+      win_cpu=$now_cpu; win_files=$now_files; win_start=$(date +%s)
     elif [ $(( $(date +%s) - win_start )) -ge "$STALL_S" ]; then
-      echo "=== watchdog: <${MIN_JIFFIES}j CPU in ${STALL_S}s; killing $PID ===" | tee -a "$LOG"
+      echo "=== watchdog: no CPU/file progress in ${STALL_S}s; killing $PID ===" | tee -a "$LOG"
       kill -9 "$PID" 2>/dev/null
       sleep 45   # let the tunnel quiesce before the next client
       break

@@ -66,6 +66,14 @@ mixed_precision_f32_tol = 1e-5
 # Directory for checkpoint files (reference uses ``out_Qckpt/``).
 ckpt_dir = "out_Qckpt"
 
+# In-progress Krylov-basis records larger than this are skipped (the
+# completion/stage records still save). Rationale: a restart-boundary save
+# of a (ncv+1, N) basis pulls the whole buffer device->host; over a
+# tunneled chip a ~1.7 GB pull takes minutes with zero host CPU, which
+# both stalls the solver and trips liveness watchdogs. Crash cost without
+# the record = redoing one solver stage from its warm start.
+ckpt_max_bytes = 512 * 1024 * 1024
+
 # When set, solvers append per-restart convergence lines here (the analog of
 # the reference's log_Lanczos_<purpose>.txt / log_CG.txt, SURVEY §5.5).
 solver_log_dir = None

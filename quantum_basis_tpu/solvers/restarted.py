@@ -496,14 +496,22 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         m = keep
         k_locked = keep
         if store is not None and time.monotonic() - last_save > _SAVE_PERIOD:
-            # time-throttled: at large N the (ncv+1, N) basis is ~1 GB per
-            # record — write at most every _SAVE_PERIOD seconds, not every
-            # restart
-            store.save(ckpt_key, {
-                "Vre": np.asarray(Vre),
-                "Vim": np.asarray(Vim) if complex_vec else np.zeros((1, 1)),
-                "Hm": Hm, "m": m, "it": it,
-            })
+            # time-throttled AND size-capped: at large N the (ncv+1, N)
+            # basis is GBs per record; over a tunneled chip the device->host
+            # pull alone takes minutes with zero host CPU (stalls the run
+            # and trips liveness watchdogs). Past config.ckpt_max_bytes the
+            # in-progress record is skipped — the stage/completion records
+            # still persist, so a crash redoes at most this stage.
+            from quantum_basis_tpu import config as _cfg
+
+            itemsize = 4 if Vre.dtype == np.dtype("float32") else 8
+            rec_bytes = (2 if complex_vec else 1) * rows * n * itemsize
+            if rec_bytes <= _cfg.ckpt_max_bytes:
+                store.save(ckpt_key, {
+                    "Vre": np.asarray(Vre),
+                    "Vim": np.asarray(Vim) if complex_vec else np.zeros((1, 1)),
+                    "Hm": Hm, "m": m, "it": it,
+                })
             last_save = time.monotonic()
     raise RuntimeError(f"thick-restart Lanczos failed to converge in {maxit} steps")
 
