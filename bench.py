@@ -55,10 +55,24 @@ def main():
     from __graft_entry__ import _chain_setup
     from quantum_basis_tpu.ops.apply_contract import ContractOp
 
+    import os
+
+    dbg = os.environ.get("QBX_BENCH_DEBUG")
+    marks = [("start", time.time())]
+
+    def mark(name):
+        marks.append((name, time.time()))
+        if dbg:
+            print(f"# {name}: +{marks[-1][1] - marks[-2][1]:.1f}s",
+                  file=sys.stderr)
+
     t0 = time.time()
     compiled, _, labels = _chain_setup(L, light=True)
+    mark("chain_setup")
     nnz = sector_nnz(compiled, labels)
+    mark("nnz_count")
     fs = ContractOp(compiled, labels, dtype=jnp.float32)
+    mark("contract_op")
     n = labels.size
 
     # start vector built ON DEVICE: host->device pushes of full-space arrays
@@ -93,10 +107,14 @@ def main():
         v = jax.lax.fori_loop(0, k, lambda i, u: step(u), v)
         return jnp.vdot(v, v)
 
+    x = jax.block_until_ready(x) if hasattr(jax, "block_until_ready") else x
+    mark("start_vec")
     warm_i, iters_i = 2, 52
     warm, iters = jnp.int32(warm_i), jnp.int32(iters_i)
     float(chain(x, warm))   # compile + warm-up
+    mark("chain_compile")
     float(chain(x, iters))
+    mark("chain_warm")
     t_setup = time.time() - t0
 
     t1 = time.time()

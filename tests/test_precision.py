@@ -86,11 +86,7 @@ def test_rqi_polish_reaches_f64_tolerance():
     out = rqi_polish(fs, v32[0], fs32=fs32)
     assert out["converged"], out
     assert out["residual"] < 3e-9, out["residual"]
-    # golden: E0(L=12 chain, Sz=0) from the dense oracle
-    ell = m.generate_Ham_sparse_full(0)
-    x = np.array(out["vector"][0])
-    x /= np.linalg.norm(x)
-    y = np.asarray(ell.to_dense()[0] @ x) if hasattr(ell, "to_dense") else None
+    # golden: E0(L=12 chain, Sz=0)
     assert abs(out["E0"] - (-5.387390917445)) < 1e-9
 
 
