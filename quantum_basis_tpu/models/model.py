@@ -59,6 +59,44 @@ class Sector:
         self.evecs: list = []   # keeps per-sector arrays, src/model.cc:75-103)
 
 
+class _SectorOpView:
+    """Per-momentum view over a SHARED ProjectedFullOp template.
+
+    The template's traced structure is momentum-independent (phases are
+    params, complex structure forced), so every sector runs the same
+    compiled programs; the view only swaps the params and the host-side
+    projector. ``program_key`` lets solvers reuse their jitted device ops
+    across views (solvers/restarted.py::_device_ops, solvers/rqi.py).
+    """
+
+    def __init__(self, template, params, project_host, momentum):
+        self._template = template
+        self.apply = template.apply
+        self.params = params
+        self.N = template.N
+        self.n = template.N
+        self.dtype = template.dtype
+        self.is_complex = True
+        self.mask = template.mask
+        self.sector_labels = template.sector_labels
+        self.program_key = template.program_key
+        self.project_host = project_host
+        self.momentum = tuple(int(x) for x in np.atleast_1d(momentum))
+
+    def __call__(self, x):
+        return self.apply(self.params, x)
+
+    def to_full(self, x_sector):
+        return self._template.to_full(x_sector)
+
+    def to_sector(self, x_full):
+        return self._template.to_sector(x_full)
+
+    @property
+    def nnz_estimate(self) -> int:
+        return self._template.nnz_estimate
+
+
 def _bind_project_host(proj, mask_np):
     """Host projection for solver start/injection vectors: QN mask then P_k."""
 
@@ -334,6 +372,15 @@ class Model:
 
         The blowup budget is larger than the full-sector path's because the
         alternative (ELL gathers) is ~2 orders of magnitude slower per nnz.
+
+        ONE operator template is built per dtype and SHARED by every
+        momentum sector: the projector phases are traced params and the
+        projector is forced onto the complex-structure program, so all k
+        share one jitted/compiled executable. Per sector this returns a
+        lightweight view carrying the sector's params/host-projector —
+        without the sharing, every sector re-paid a minutes-long XLA
+        compile per solver program on the tunneled chip (measured: a fresh
+        ``jax.jit`` object recompiles an identical program from scratch).
         """
         import jax.numpy as jnp
 
@@ -350,6 +397,9 @@ class Model:
             cache = sector._fsrepr_cache = {}
         if dtype in cache:
             return cache[dtype]
+        shared = getattr(self, "_fsrepr_shared", None)
+        if shared is None:
+            shared = self._fsrepr_shared = {}
         op = None
         if self.space.label_space <= max_blowup * max(sector.dim, 1):
             rolls = getattr(self, "_rolls", False)
@@ -358,28 +408,39 @@ class Model:
                 if RollTranslations.supported(self.space, self.lattice):
                     rolls = RollTranslations(self.space, self.lattice)
                 self._rolls = rolls
-            base = None
-            if rolls is not None:
-                # same engine order as _fullspace_op (see its docstring)
-                if dtype == jnp.dtype(jnp.float32) \
-                        or not _f64_prefers_rolls():
-                    if supports_contract(self.compiled_Ham):
-                        base = ContractOp(self.compiled_Ham, dtype=dtype)
-                    elif dtype != jnp.dtype(jnp.float32) \
-                            and supports_fullspace(self.compiled_Ham):
+            template = shared.get(dtype, False)
+            if template is False:
+                template = None
+                base = None
+                if rolls is not None:
+                    # same engine order as _fullspace_op (see its docstring)
+                    if dtype == jnp.dtype(jnp.float32) \
+                            or not _f64_prefers_rolls():
+                        if supports_contract(self.compiled_Ham):
+                            base = ContractOp(self.compiled_Ham, dtype=dtype)
+                        elif dtype != jnp.dtype(jnp.float32) \
+                                and supports_fullspace(self.compiled_Ham):
+                            base = FullSpaceOp(self.compiled_Ham)
+                    elif supports_fullspace(self.compiled_Ham):
                         base = FullSpaceOp(self.compiled_Ham)
-                elif supports_fullspace(self.compiled_Ham):
-                    base = FullSpaceOp(self.compiled_Ham)
-                elif supports_contract(self.compiled_Ham):
-                    base = ContractOp(self.compiled_Ham, dtype=dtype)
-            if base is not None:
-                base.mask = self._qn_mask_device(
-                    dtype if dtype == jnp.dtype(jnp.float32)
-                    else jnp.float64)
-                proj = MomentumProjector(rolls, sector.momentum, dtype=dtype)
-                op = ProjectedFullOp(base, proj)
+                    elif supports_contract(self.compiled_Ham):
+                        base = ContractOp(self.compiled_Ham, dtype=dtype)
+                if base is not None:
+                    base.mask = self._qn_mask_device(
+                        dtype if dtype == jnp.dtype(jnp.float32)
+                        else jnp.float64)
+                    proj = MomentumProjector(rolls, sector.momentum,
+                                             dtype=dtype, force_complex=True)
+                    template = ProjectedFullOp(base, proj)
+                    template.program_key = (id(template), str(dtype))
+                shared[dtype] = template
+            if template is not None:
+                proj_k = MomentumProjector(rolls, sector.momentum,
+                                           dtype=dtype, force_complex=True)
                 mh = self._qn_mask_host()
-                op.project_host = _bind_project_host(proj, mh)
+                op = _SectorOpView(
+                    template, (template.base.params, proj_k.params),
+                    _bind_project_host(proj_k, mh), sector.momentum)
         cache[dtype] = op
         return op
 
@@ -473,7 +534,8 @@ class Model:
         _, v32 = eigs_smallest(
             fs32, fs32.N, nev=nev, ncv=ncv, maxit=maxit, seed=seed,
             complex_vec=complex_vec, mask=fs32.mask,
-            tol=config.mixed_precision_f32_tol, ckpt_key=key + "_f32")
+            tol=config.mixed_precision_f32_tol, ckpt_key=key + "_f32",
+            verify_degenerate=False)
         if not v32:
             return None
         v0 = v32[0]

@@ -279,7 +279,8 @@ class MomentumProjector:
     basis.translation (validated against the repr-path golden values).
     """
 
-    def __init__(self, rolls: RollTranslations, momentum, dtype=None):
+    def __init__(self, rolls: RollTranslations, momentum, dtype=None,
+                 force_complex: bool = False):
         import jax.numpy as jnp
 
         self.rolls = rolls
@@ -319,7 +320,10 @@ class MomentumProjector:
         self._phases_np = np.asarray(phases_np, dtype=np.float64).reshape(
             -1, 2)
         self._params_dev = None
-        self.complex_phases = bool(
+        # force_complex keeps the traced structure identical across ALL
+        # momenta (k = 0 / L/2 phases are real, which would otherwise emit
+        # a distinct — separately compiled — program)
+        self.complex_phases = bool(force_complex or
             np.any(np.abs(self._phases_np[:, 1]) > _PHASE_TOL))
         self.is_identity = not self.dims
 

@@ -213,6 +213,29 @@ class _DeviceOps:
         self.insert_random = jax.jit(insert_random)
 
 
+_DOPS_CACHE: dict = {}
+
+
+def _device_ops(matvec, n, ncv, complex_vec):
+    """_DeviceOps, shared across matvecs that declare a ``program_key``.
+
+    A fresh ``jax.jit`` object recompiles an identical program from scratch
+    (measured), so per-sector solver instances would re-pay the full XLA
+    compile per momentum sector. Matvec views over a shared operator
+    template (models/model.py::_SectorOpView) carry the template's
+    ``program_key``; their traced structure is identical and the per-sector
+    arrays travel through ``params``, so the jitted ops can be reused.
+    """
+    pk = getattr(matvec, "program_key", None)
+    if pk is None:
+        return _DeviceOps(matvec, n, ncv, complex_vec)
+    key = (pk, int(n), int(ncv), bool(complex_vec))
+    ops = _DOPS_CACHE.get(key)
+    if ops is None:
+        ops = _DOPS_CACHE[key] = _DeviceOps(matvec, n, ncv, complex_vec)
+    return ops
+
+
 class DeflatedMatvec:
     """P H P + sigma (I - P) with P projecting out given eigenvectors.
 
@@ -257,7 +280,7 @@ class DeflatedMatvec:
 
 def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
                   complex_vec=False, which="SA", deg_tol=1e-9, ckpt_key=None,
-                  mask=None, v0=None):
+                  mask=None, v0=None, verify_degenerate=True):
     """nev smallest ('SA') or largest ('LA') eigenpairs of Hermitian matvec.
 
     Returns (eigenvalues list, eigenvectors list of split-complex cvecs).
@@ -268,13 +291,16 @@ def eigs_smallest(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
     deflate-and-verify pass — project out the converged vectors, restart
     from a fresh random vector, and if a new value lands strictly inside
     the found window it is a missed copy: insert and verify again.
+    ``verify_degenerate=False`` skips that pass — right when only a warm
+    start is wanted (the mixed-precision f32 bulk stage), where the pass
+    costs a second full solve + compile for nothing.
     """
     vals, vecs = _eigs_core(matvec, n, nev, ncv, maxit, tol, seed,
                             complex_vec, which, ckpt_key=ckpt_key, mask=mask,
                             v0=v0)
     sgn = 1.0 if which == "SA" else -1.0
     guard = 0
-    while len(vals) >= nev and guard < 8:
+    while verify_degenerate and len(vals) >= nev and guard < 8:
         guard += 1
         spread = abs(vals[-1] - vals[0])
         sigma = (max(vals) + 10.0 + 3.0 * spread) if which == "SA" else \
@@ -359,7 +385,10 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
             im = im / max(nrm, 1e-300)
         return re, im
 
-    ops = _DeviceOps(matvec, n, ncv, complex_vec)
+    ops = _device_ops(matvec, n, ncv, complex_vec)
+    from quantum_basis_tpu.solvers.lanczos import _mv_protocol
+    mv_params = _mv_protocol(matvec)[1]  # THIS matvec's params (the cached
+    # ops may have been built from a different sector's view)
     dt = ops.dtype
     if v0 is not None:
         # warm start (e.g. the f64 polish stage of a mixed-precision solve
@@ -410,10 +439,10 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
         while m < ncv:
             if complex_vec:
                 Vre, Vim, Hr_d, Hi_d, b_d = ops.expand(
-                    Vre, Vim, np.int32(m), ops.mv_params)
+                    Vre, Vim, np.int32(m), mv_params)
             else:
                 Vre, _, Hr_d, Hi_d, b_d = ops.expand(
-                    Vre, jnp.zeros((1, 1)), np.int32(m), ops.mv_params)
+                    Vre, jnp.zeros((1, 1)), np.int32(m), mv_params)
             Hr = np.asarray(Hr_d, dtype=np.float64)
             Hi = (np.asarray(Hi_d, dtype=np.float64) if complex_vec
                   else np.zeros_like(Hr))
@@ -514,13 +543,6 @@ def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
                 })
             last_save = time.monotonic()
     raise RuntimeError(f"thick-restart Lanczos failed to converge in {maxit} steps")
-
-
-def _step_real(ops, Vre, j):
-    import jax.numpy as jnp
-
-    Vre, _, hr, hi, b = ops.step(Vre, jnp.zeros((1, 1)), j, ops.mv_params)
-    return Vre, None, hr, hi, b
 
 
 def _insert_real(ops, Vre, rr, j, row):

@@ -40,6 +40,8 @@ from quantum_basis_tpu.ops import cplx as cx
 
 _TINY = 1e-300
 
+_PROGRAM_CACHE: dict = {}  # (program keys, complex) -> (outer_fn, inner_fn)
+
 
 def _make_outer(fs64, complex_vec):
     """jit: x -> (theta, normalized x, residual r, ||r||), all f64."""
@@ -140,8 +142,21 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
     assert fs32 is not None, "rqi_polish requires the f32 engine twin"
     complex_vec = (v0[1] is not None) or bool(getattr(fs64, "is_complex",
                                                       False))
-    outer_fn = _make_outer(fs64, complex_vec)
-    inner_fn = _make_inner(fs32, complex_vec)
+    # share the jitted outer/inner programs across operators that declare a
+    # program_key (per-momentum views over one template, models/model.py) —
+    # a fresh jax.jit object recompiles the identical program from scratch
+    pk = (getattr(fs64, "program_key", None),
+          getattr(fs32, "program_key", None))
+    if pk[0] is not None and pk[1] is not None:
+        key = (pk, complex_vec)
+        fns = _PROGRAM_CACHE.get(key)
+        if fns is None:
+            fns = _PROGRAM_CACHE[key] = (_make_outer(fs64, complex_vec),
+                                         _make_inner(fs32, complex_vec))
+        outer_fn, inner_fn = fns
+    else:
+        outer_fn = _make_outer(fs64, complex_vec)
+        inner_fn = _make_inner(fs32, complex_vec)
     p64, p32 = fs64.params, fs32.params
 
     def as_f64(v):
