@@ -89,6 +89,43 @@ def main(L=20):
                        "backend": jax.devices()[0].platform},
         }))
 
+    # ---- explicit-sparse halo engine (static all-to-all exchange) vs the
+    # all-gather strategy, at the largest mesh
+    from quantum_basis_tpu.basis.lin_table import digit_split
+    from quantum_basis_tpu.basis.index import BasisIndex
+    from quantum_basis_tpu.ops.apply import DeviceBasis, MatvecFull
+    from quantum_basis_tpu.ops.sparse import build_sparse_full
+    from quantum_basis_tpu.parallel.halo_sharded import EllShardedHalo
+
+    index = BasisIndex(labels, compiled.space.label_space,
+                       lin_split=digit_split(compiled.space))
+    dbasis = DeviceBasis(compiled.space, labels, index)
+    ell = build_sparse_full(MatvecFull(compiled, dbasis))
+    nd = counts[-1]
+    hs = EllShardedHalo(ell, basis_mesh(nd))
+    re, _ = vec_randomize(ell.n, seed=2)
+    x = hs.pad((re, None))
+    y = hs(x)
+    jax.block_until_ready(y[0])
+    iters = 25
+    t0 = time.time()
+    for _ in range(iters):
+        y = hs(y if y[1] is None else (y[0], None))
+    jax.block_until_ready(y[0])
+    dt = (time.time() - t0) / iters
+    st = hs.halo_stats()
+    print(json.dumps({
+        "metric": "halo_spmv_nnz_per_s",
+        "value": round(ell.nnz / dt, 1),
+        "unit": "nnz/s",
+        "devices": nd,
+        "detail": {"workload": f"heisenberg_chain_L{L}_Sz0_ell_halo",
+                   "ms_per_apply": round(dt * 1e3, 3),
+                   "halo_traffic_ratio_vs_allgather":
+                       round(st["traffic_ratio"], 4),
+                   "backend": jax.devices()[0].platform},
+    }))
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
