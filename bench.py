@@ -19,8 +19,15 @@ is reported against a fixed nominal target of 1e9 nnz/s.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# persistent XLA compile cache (measured 30.3s -> 2.4s for a repeat
+# compile on the tunneled chip); harmless on cold runs
+os.environ.setdefault(
+    "QBX_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"))
 
 import numpy as np
 
