@@ -114,3 +114,33 @@ def test_rqi_polish_momentum_sector_complex():
     m2.enumerate_basis_repr([3], [c2["Sz"]], [0.0])
     m2.locate_E0_lanczos(which="repr", maxit=2000)
     assert abs(out["E0"] - float(m2.eigenvals_repr[0])) < 1e-8
+
+
+def test_momentum_sector_program_sharing():
+    """All momentum sectors must share ONE operator template (and thus one
+    set of compiled solver programs): a fresh jax.jit object recompiles an
+    identical program from scratch, which cost minutes per sector on the
+    tunneled chip."""
+    from tests.models_zoo import heisenberg_chain
+    from quantum_basis_tpu.solvers.restarted import _device_ops
+
+    m, c = heisenberg_chain(12, "1/2")
+    views = []
+    for k in (1, 2, 3):
+        m.enumerate_basis_repr([k], [c["Sz"]], [0.0])
+        fs = m._fullspace_repr_op(m.sec_repr[0])
+        if fs is None:
+            pytest.skip("projected full-space path unsupported here")
+        views.append(fs)
+    assert views[0]._template is views[1]._template is views[2]._template
+    assert views[0].program_key == views[2].program_key
+    # k=0 (real phases) joins the same complex-structure template
+    m.enumerate_basis_repr([0], [c["Sz"]], [0.0])
+    v0 = m._fullspace_repr_op(m.sec_repr[0])
+    assert v0._template is views[0]._template
+    assert v0.is_complex
+    ops_a = _device_ops(views[0], views[0].N, 8, True)
+    ops_b = _device_ops(views[1], views[1].N, 8, True)
+    assert ops_a is ops_b
+    ops_c = _device_ops(views[1], views[1].N, 9, True)  # new shape -> new ops
+    assert ops_c is not ops_a
