@@ -376,6 +376,20 @@ class MomentumProjector:
                 acc_r = acc_r + pr
                 if pi is not None:
                     acc_i = pi if acc_i is None else acc_i + pi
+                # serialize term accumulation on device: without the
+                # barrier XLA keeps every translation's (N,) temporaries
+                # live to schedule them in parallel — at N = 2^24 f64
+                # complex the P_k H program needed 15.80G of 15.75G HBM
+                # (compile-time OOM); pinning the accumulation order lets
+                # buffer assignment reuse the roll scratch per term
+                if not isinstance(acc_r, np.ndarray):
+                    import jax
+
+                    if acc_i is None:
+                        acc_r = jax.lax.optimization_barrier(acc_r)
+                    else:
+                        acc_r, acc_i = jax.lax.optimization_barrier(
+                            (acc_r, acc_i))
             inv = 1.0 / L
             xr = acc_r * inv
             xi = acc_i * inv if acc_i is not None else None

@@ -44,23 +44,43 @@ _PROGRAM_CACHE: dict = {}  # (program keys, complex) -> (outer_fn, inner_fn)
 
 
 def _make_outer(fs64, complex_vec):
-    """jit: x -> (theta, normalized x, residual r, ||r||), all f64."""
+    """x -> (theta, normalized x, residual r, ||r||), all f64.
+
+    Split into TWO jits — normalize+apply, then the Rayleigh/residual
+    reductions — so the H-apply program's peak HBM is the engine's own:
+    one fused program (apply + BLAS1 on 4-6 extra (N,) f64 buffers) was
+    51.75M over the 15.75G chip at N = 2^24 complex (compile-time OOM).
+    """
     import jax
     import jax.numpy as jnp
 
-    def outer(params, xr, xi):
+    def apply_part(params, xr, xi):
         x = (xr, xi if complex_vec else None)
         x = cx.scale(x, 1.0 / jnp.maximum(cx.norm(x), _TINY))
         y = fs64.apply(params, x)
         if complex_vec and y[1] is None:
             y = (y[0], jnp.zeros_like(y[0]))
+        z = jnp.zeros((1,), xr.dtype)
+        return (x[0], x[1] if complex_vec else z,
+                y[0], y[1] if complex_vec else z)
+
+    def reduce_part(nxr, nxi, yr, yi):
+        x = (nxr, nxi if complex_vec else None)
+        y = (yr, yi if complex_vec else None)
         th = cx.vdot_re(x, y)
         r = cx.axpy(-th, x, y)
-        z = jnp.zeros((1,), xr.dtype)
-        return (th, x[0], x[1] if complex_vec else z,
-                r[0], r[1] if complex_vec else z, cx.norm(r))
+        z = jnp.zeros((1,), nxr.dtype)
+        return (th, r[0], r[1] if complex_vec else z, cx.norm(r))
 
-    return jax.jit(outer)
+    apply_jit = jax.jit(apply_part)
+    reduce_jit = jax.jit(reduce_part, donate_argnums=(2, 3))
+
+    def outer(params, xr, xi):
+        nxr, nxi, yr, yi = apply_jit(params, xr, xi)
+        th, rr, ri, rn = reduce_jit(nxr, nxi, yr, yi)
+        return th, nxr, nxi, rr, ri, rn
+
+    return outer
 
 
 def _make_inner(fs32, complex_vec):
