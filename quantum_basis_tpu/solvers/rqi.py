@@ -46,13 +46,62 @@ _PROGRAM_CACHE: dict = {}  # (program keys, complex) -> (outer_fn, inner_fn)
 def _make_outer(fs64, complex_vec):
     """x -> (theta, normalized x, residual r, ||r||), all f64.
 
-    Split into TWO jits — normalize+apply, then the Rayleigh/residual
-    reductions — so the H-apply program's peak HBM is the engine's own:
-    one fused program (apply + BLAS1 on 4-6 extra (N,) f64 buffers) was
-    51.75M over the 15.75G chip at N = 2^24 complex (compile-time OOM).
+    Memory discipline at N = 2^24 f64 on a 16 GB chip: ONE fused
+    normalize+apply+reduce program OOM'd at compile (15.80G), and an
+    apply+reduce split still OOM'd at runtime for the complex momentum
+    sectors — the f64-complex P_k H program's temporaries alone approach
+    the chip. For a REAL Hamiltonian (every Heisenberg-class model) the
+    pipeline therefore decomposes into SEPARATE dispatches, each with the
+    peak of its own program only:
+
+        normalize (small) -> H re -> H im (the proven full-sector real
+        apply, twice) -> projector+Rayleigh+residual (roll-scale temps).
+
+    Complex Hamiltonians keep the apply+reduce split.
     """
     import jax
     import jax.numpy as jnp
+
+    template = getattr(fs64, "_template", fs64)
+    base_op = getattr(template, "base", None)
+    projector = getattr(template, "projector", None)
+    decompose = (complex_vec and base_op is not None
+                 and projector is not None
+                 and not bool(getattr(base_op, "is_complex", True)))
+
+    if decompose:
+        def norm_part(xr, xi):
+            x = (xr, xi)
+            inv = 1.0 / jnp.maximum(cx.norm(x), _TINY)
+            return xr * inv, xi * inv
+
+        def h_real(bp, v):
+            y, _ = base_op.apply(bp, (v, None))
+            return y
+
+        def proj_reduce(pp, nxr, nxi, hr, hi):
+            yr, yi = projector.apply(pp, (hr, hi))
+            if yi is None:
+                yi = jnp.zeros_like(yr)
+            x = (nxr, nxi)
+            y = (yr, yi)
+            th = cx.vdot_re(x, y)
+            r = cx.axpy(-th, x, y)
+            return th, r[0], r[1], cx.norm(r)
+
+        norm_jit = jax.jit(norm_part, donate_argnums=(0, 1))
+        h_jit = jax.jit(h_real)
+        pr_jit = jax.jit(proj_reduce, donate_argnums=(3, 4))
+
+        def outer(params, xr, xi):
+            bp, pp = params
+            nxr, nxi = norm_jit(xr, xi)
+            hr = h_jit(bp, nxr)
+            hi = h_jit(bp, nxi)
+            th, rr, ri, rn = pr_jit(pp, nxr, nxi, hr, hi)
+            return th, nxr, nxi, rr, ri, rn
+
+        return outer
 
     def apply_part(params, xr, xi):
         x = (xr, xi if complex_vec else None)
