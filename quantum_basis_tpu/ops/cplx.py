@@ -19,10 +19,19 @@ import jax.numpy as jnp
 
 
 def _dot(a, b):
-    """Sum(a*b) with f64-safe lowering (see module docstring)."""
+    """Sum(a*b) with precision-safe lowering (see module docstring).
+
+    f32 dots force Precision.HIGHEST: the TPU default demotes dot inputs
+    to bf16 (~4e-3 relative error), which flipped small curvature values
+    (pAp ~ spectral-gap scale) negative inside the RQI inner CG — the
+    solve silently returned a zero correction on chip while CPU runs
+    (where precision flags are no-ops) passed.
+    """
     if a.dtype == jnp.float64:
         return jnp.sum(a * b)
-    return jnp.vdot(a, b)
+    import jax
+
+    return jnp.vdot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def is_real(x):
