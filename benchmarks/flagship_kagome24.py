@@ -125,6 +125,16 @@ def main():
                             "solve_s": round(t_k, 1)})
             print(f"E0(k=({kx},{ky})) = {e0k:.12f}  dim {dim_k}  "
                   f"[enum {t_enum_k:.1f}s solve {t_k:.1f}s]", flush=True)
+            # incremental partial: a preempted run still leaves evidence
+            with open(args.out + ".partial", "w") as f:
+                json.dump({
+                    "workload":
+                        f"kagome_heisenberg_{args.lx}x{args.ly}_Sz0",
+                    "status": f"{len(sectors)}/{args.lx * args.ly} momentum "
+                              "sectors done",
+                    "dim_full": int(dim_full), "E0_full": E0_full,
+                    "sectors": sectors,
+                    "backend": jax.devices()[0].platform}, f, indent=1)
 
     # ---- checks. Hard criteria: the sector dims resolve the identity and
     # min_k E0 equals the full-sector E0 at 1e-10 (two independent
