@@ -340,7 +340,8 @@ def _solver_log(purpose, it, theta, resid):
     with open(path, "a") as f:
         th = " ".join(f"{t:.12f}" for t in theta)
         rs = " ".join(f"{r:.3e}" for r in resid)
-        f.write(f"{it:8d}  theta: {th}  resid: {rs}\n")
+        stamp = time.strftime("%H:%M:%S")
+        f.write(f"{stamp} [{os.getpid()}] {it:8d}  theta: {th}  resid: {rs}\n")
 
 
 def _eigs_core(matvec, n, nev=2, ncv=12, maxit=1000, tol=1e-10, seed=1,
