@@ -252,7 +252,12 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
                 xi = jnp.asarray(rec["x_im"])
             n_outer0 = min(int(rec["outer"]), max_outer - 1)
 
-    best = None  # (rnorm, theta, x_re, x_im)
+    # HBM discipline at N = 2^24 f64 (16 GB chip): the loop keeps at most
+    # the current x on device between phases — the best iterate is held on
+    # HOST, and the residual/correction buffers are dropped before the
+    # next outer apply (the second outer OOM'd with rr/ri + t + a device
+    # `best` copy live on top of the apply program's peak).
+    best = None  # (rnorm, theta, x_re HOST, x_im HOST)
     n_inner_tot = 0
     cur_inner = int(inner)
     prev_rn = None
@@ -262,17 +267,18 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
         th, nxr, nxi, rr, ri, rn_dev = outer_fn(p64, xr, xi)
         theta, rn = float(th), float(rn_dev)
         xr, xi = nxr, nxi
+        del nxr, nxi
         if tol is None:
             tol = max(1e3 * lanczos_precision * max(abs(theta), 1.0), 5e-10)
         if log is not None:
             log(it, theta, rn, cur_inner)
         if best is None or rn < best[0]:
-            best = (rn, theta, xr, xi)
+            best = (rn, theta, np.asarray(xr),
+                    np.asarray(xi) if complex_vec else None)
         if store is not None:
             store.save(ckpt_key, {
-                "x_re": np.asarray(best[2]),
-                "x_im": (np.asarray(best[3]) if complex_vec
-                         else np.zeros(1)),
+                "x_re": best[2],
+                "x_im": (best[3] if complex_vec else np.zeros(1)),
                 "theta": best[1], "rnorm": best[0], "outer": it + 1,
             })
         if rn < tol:
@@ -289,14 +295,18 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
             jnp.asarray(ri, jnp.float32) if complex_vec
             else jnp.zeros((1,), jnp.float32),
             jnp.float32(theta), jnp.int32(cur_inner))
+        rr = ri = None  # free the f64 residual before the next outer
         n_inner_tot += int(k_dev)
         # x <- x - t*||b32||  (t solved against the normalized rhs)
         s = float(bn)
         xr = xr - s * jnp.asarray(t_re, jnp.float64)
         if complex_vec:
             xi = xi - s * jnp.asarray(t_im, jnp.float64)
+        t_re = t_im = None  # free the f32 correction likewise
 
-    rn, theta, xr, xi = best
+    rn, theta, xr_h, xi_h = best
+    xr = jnp.asarray(xr_h)
+    xi = jnp.asarray(xi_h) if complex_vec else None
     converged = rn < (tol if tol is not None else np.inf)
     if store is not None and converged:
         store.delete(ckpt_key)
