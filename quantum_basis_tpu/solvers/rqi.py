@@ -252,29 +252,43 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
                 xi = jnp.asarray(rec["x_im"])
             n_outer0 = min(int(rec["outer"]), max_outer - 1)
 
-    # HBM discipline at N = 2^24 f64 (16 GB chip): the loop keeps at most
-    # the current x on device between phases — the best iterate is held on
-    # HOST, and the residual/correction buffers are dropped before the
-    # next outer apply (the second outer OOM'd with rr/ri + t + a device
-    # `best` copy live on top of the apply program's peak).
+    # HBM discipline at N = 2^24 f64 (16 GB chip): between phases ALL
+    # vector state lives on HOST — the f64 outer and f32 inner programs
+    # each start against a device holding only operator params. Keeping
+    # residual/correction/best buffers device-resident alongside the next
+    # outer apply OOM'd repeatedly (the apply program's temporaries alone
+    # approach the chip); the ~0.5 GB host round-trips cost seconds per
+    # outer against 2-4 outers total.
+    z32 = None
+
+    def _f32(a):
+        import jax
+
+        return jax.device_put(jnp.asarray(np.asarray(a, np.float32)))
+
     best = None  # (rnorm, theta, x_re HOST, x_im HOST)
     n_inner_tot = 0
     cur_inner = int(inner)
     prev_rn = None
     theta = None
     it = n_outer0
+    x_h = (np.asarray(xr), np.asarray(xi) if complex_vec else None)
+    xr = xi = None
     for it in range(n_outer0, max_outer):
-        th, nxr, nxi, rr, ri, rn_dev = outer_fn(p64, xr, xi)
+        xr_d = jnp.asarray(x_h[0])
+        xi_d = jnp.asarray(x_h[1]) if complex_vec else jnp.zeros(
+            (1,), jnp.float64)
+        th, nxr, nxi, rr, ri, rn_dev = outer_fn(p64, xr_d, xi_d)
         theta, rn = float(th), float(rn_dev)
-        xr, xi = nxr, nxi
-        del nxr, nxi
+        x_h = (np.asarray(nxr), np.asarray(nxi) if complex_vec else None)
+        r_h = (np.asarray(rr), np.asarray(ri) if complex_vec else None)
+        del xr_d, xi_d, nxr, nxi, rr, ri, th, rn_dev
         if tol is None:
             tol = max(1e3 * lanczos_precision * max(abs(theta), 1.0), 5e-10)
         if log is not None:
             log(it, theta, rn, cur_inner)
         if best is None or rn < best[0]:
-            best = (rn, theta, np.asarray(xr),
-                    np.asarray(xi) if complex_vec else None)
+            best = (rn, theta, x_h[0], x_h[1])
         if store is not None:
             store.save(ckpt_key, {
                 "x_re": best[2],
@@ -287,22 +301,21 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
             # outer contraction stalling -> buy a more accurate correction
             cur_inner = min(2 * cur_inner, inner_max)
         prev_rn = rn
+        if z32 is None:
+            z32 = jnp.zeros((1,), jnp.float32)
         t_re, t_im, rel, k_dev, bn = inner_fn(
-            p32, jnp.asarray(xr, jnp.float32),
-            jnp.asarray(xi, jnp.float32) if complex_vec
-            else jnp.zeros((1,), jnp.float32),
-            jnp.asarray(rr, jnp.float32),
-            jnp.asarray(ri, jnp.float32) if complex_vec
-            else jnp.zeros((1,), jnp.float32),
+            p32, _f32(x_h[0]), _f32(x_h[1]) if complex_vec else z32,
+            _f32(r_h[0]), _f32(r_h[1]) if complex_vec else z32,
             jnp.float32(theta), jnp.int32(cur_inner))
-        rr = ri = None  # free the f64 residual before the next outer
         n_inner_tot += int(k_dev)
-        # x <- x - t*||b32||  (t solved against the normalized rhs)
         s = float(bn)
-        xr = xr - s * jnp.asarray(t_re, jnp.float64)
-        if complex_vec:
-            xi = xi - s * jnp.asarray(t_im, jnp.float64)
-        t_re = t_im = None  # free the f32 correction likewise
+        t_h = (np.asarray(t_re, dtype=np.float64),
+               np.asarray(t_im, dtype=np.float64) if complex_vec else None)
+        del t_re, t_im, r_h
+        # x <- x - t*||b32||  (t solved against the normalized rhs), on host
+        x_h = (x_h[0] - s * t_h[0],
+               (x_h[1] - s * t_h[1]) if complex_vec else None)
+        del t_h
 
     rn, theta, xr_h, xi_h = best
     xr = jnp.asarray(xr_h)
