@@ -168,6 +168,33 @@ class FullSpaceOp:
         return (self.diag_full,)
 
     def apply(self, params, x):
+        return self._run_passes(params, x, self._passes, with_diag=True)
+
+    def make_chunked_applies(self, n_chunks: int = 6):
+        """Jitted partial applies whose outputs SUM to ``apply(params, x)``.
+
+        Chunk 0 carries the diagonal; chunk i covers a contiguous slice of
+        the roll passes. Purpose: at N = 2^24 f64 the monolithic apply
+        program's temporaries approach the whole chip and fail on a
+        fragmented allocator — several small programs with ~1/n of the
+        passes allocate in proportionally small blocks (see
+        solvers/rqi.py's outer pipeline).
+        """
+        import jax
+
+        n_chunks = max(1, min(int(n_chunks), max(len(self._passes), 1)))
+        groups = np.array_split(np.arange(len(self._passes)), n_chunks)
+        fns = []
+        for ci, ix in enumerate(groups):
+            sub = [self._passes[i] for i in ix]
+
+            def partial(params, x, _sub=sub, _d=(ci == 0)):
+                return self._run_passes(params, x, _sub, with_diag=_d)
+
+            fns.append(jax.jit(partial))
+        return fns
+
+    def _run_passes(self, params, x, passes, with_diag):
         import jax
         import jax.numpy as jnp
 
@@ -209,11 +236,16 @@ class FullSpaceOp:
                 sel = t if sel is None else sel & t
             return sel
 
-        yr = diag * xr
-        yi = None if (xi is None and not self.is_complex) else \
-            diag * (xi if xi is not None else jnp.zeros_like(xr))
+        if with_diag:
+            yr = diag * xr
+            yi = None if (xi is None and not self.is_complex) else \
+                diag * (xi if xi is not None else jnp.zeros_like(xr))
+        else:
+            yr = jnp.zeros_like(xr)
+            yi = None if (xi is None and not self.is_complex) else \
+                jnp.zeros_like(xr)
         xi_ = xi
-        for dl, slots, jstr, col, wmask, dims in self._passes:
+        for dl, slots, jstr, col, wmask, dims in passes:
             nz = np.nonzero(np.abs(col) > _AMP_TOL)[0]
             if wmask:
                 par = jax.lax.population_count(lab & np.int32(wmask)) & 1

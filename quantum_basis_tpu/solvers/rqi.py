@@ -93,11 +93,27 @@ def _make_outer(fs64, complex_vec):
         h_jit = jax.jit(h_real)
         pr_jit = jax.jit(proj_reduce, donate_argnums=(3, 4))
 
+        # chunked H at large N: several small programs allocate in small
+        # blocks (fragmentation-tolerant) instead of one near-chip-sized one
+        chunk_fns = None
+        if hasattr(base_op, "make_chunked_applies") \
+                and base_op.N >= (1 << 23):
+            chunk_fns = base_op.make_chunked_applies(6)
+
+        def h_apply(bp, v):
+            if chunk_fns is None:
+                return h_jit(bp, v)
+            y = None
+            for f in chunk_fns:
+                part = f(bp, (v, None))[0]
+                y = part if y is None else y + part
+            return y
+
         def outer(params, xr, xi):
             bp, pp = params
             nxr, nxi = norm_jit(xr, xi)
-            hr = h_jit(bp, nxr)
-            hi = h_jit(bp, nxi)
+            hr = h_apply(bp, nxr)
+            hi = h_apply(bp, nxi)
             th, rr, ri, rn = pr_jit(pp, nxr, nxi, hr, hi)
             return th, nxr, nxi, rr, ri, rn
 
@@ -194,7 +210,7 @@ def _make_inner(fs32, complex_vec):
     return jax.jit(inner)
 
 
-def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
+def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
                inner: int = 240, inner_max: int = 1920, ckpt_key=None,
                log=None):
     """Polish eigenpair ``v0`` of ``fs64`` to f64 residual tolerance.
@@ -316,6 +332,16 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 30,
         x_h = (x_h[0] - s * t_h[0],
                (x_h[1] - s * t_h[1]) if complex_vec else None)
         del t_h
+        if store is not None:
+            # persist the UPDATED iterate immediately: a crash between the
+            # inner solve and the next outer evaluation must not discard
+            # the correction (observed: per-attempt OOM at the second
+            # outer made every resume restart from the same stale x)
+            store.save(ckpt_key, {
+                "x_re": x_h[0],
+                "x_im": (x_h[1] if complex_vec else np.zeros(1)),
+                "theta": best[1], "rnorm": best[0], "outer": it + 1,
+            })
 
     rn, theta, xr_h, xi_h = best
     xr = jnp.asarray(xr_h)
