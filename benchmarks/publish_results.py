@@ -112,11 +112,13 @@ def main():
         lines += [
             "",
             f"- sum of sector dims == full dim: **{ck['sum_dims']}**",
-            f"- E0(k=0) == E0(full) to 1e-10: "
-            f"**{ck['k0_matches_full_1e-10']}** (two independent "
-            "algorithms: direct sector solve vs momentum projection)",
             f"- min_k E0(k) == E0(full) to 1e-10: "
-            f"**{ck['min_k_matches_full_1e-10']}**",
+            f"**{ck['min_k_matches_full_1e-10']}** (two independent "
+            "algorithms: full-sector solve vs momentum-projected sector "
+            f"solves); ground state at k={tuple(ck['gs_momentum'])}",
+            f"- E0(k=0) == E0(full): {ck['k0_matches_full_1e-10']} "
+            "(the GS momentum is a result, not an assumption — see "
+            "gs_momentum)",
             f"- wall: enumerate {t['enumerate_full']}s, full solve "
             f"{t['solve_full']}s, total {t['total']}s", "",
         ]
@@ -172,8 +174,17 @@ def main():
             "| devices | iters/s | ms/iter |", "|---|---|---|",
         ]
         for r in scaling["results"]:
-            lines.append(f"| {r['devices']} | {r['value']} | "
-                         f"{r['detail']['ms_per_iter']} |")
+            if r.get("metric") == "lanczos_iters_per_s":
+                lines.append(f"| {r['devices']} | {r['value']} | "
+                             f"{r['detail']['ms_per_iter']} |")
+        halo = [r for r in scaling["results"]
+                if r.get("metric") == "halo_spmv_nnz_per_s"]
+        for r in halo:
+            lines += ["", f"- halo-exchange ELL SpMV at {r['devices']} "
+                          f"devices: {r['value']:.3g} nnz/s "
+                          f"({r['detail']['ms_per_apply']} ms/apply, "
+                          "traffic vs all-gather "
+                          f"{r['detail']['halo_traffic_ratio_vs_allgather']})"]
         lines += ["", f"caveat: {scaling['caveat']}", ""]
 
     with open(os.path.join(ROOT, "RESULTS.md"), "w") as f:
