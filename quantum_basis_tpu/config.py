@@ -66,6 +66,20 @@ mixed_precision_f32_tol = 1e-5
 # Directory for checkpoint files (reference uses ``out_Qckpt/``).
 ckpt_dir = "out_Qckpt"
 
+# f64 dot-product lowering: True -> elementwise-multiply + reduce (exact
+# f64 everywhere; REQUIRED on TPU, where f64 dot_general is an emulation
+# with only ~1e-10 relative accuracy, ~1e-8 fused); False -> dot_general
+# (exact AND much faster on CPU/GPU native-f64 backends); None -> choose
+# by backend at trace time.
+f64_reduce_dots: bool | None = None
+
+
+def use_f64_reduce_dots() -> bool:
+    if f64_reduce_dots is not None:
+        return bool(f64_reduce_dots)
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+
+
 # In-progress Krylov-basis records larger than this are skipped (the
 # completion/stage records still save). Rationale: a restart-boundary save
 # of a (ncv+1, N) basis pulls the whole buffer device->host; over a

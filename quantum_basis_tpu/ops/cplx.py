@@ -27,10 +27,14 @@ def _dot(a, b):
     solve silently returned a zero correction on chip while CPU runs
     (where precision flags are no-ops) passed.
     """
-    if a.dtype == jnp.float64:
-        return jnp.sum(a * b)
     import jax
 
+    if a.dtype == jnp.float64:
+        from quantum_basis_tpu.config import use_f64_reduce_dots
+
+        if use_f64_reduce_dots():
+            return jnp.sum(a * b)
+        return jnp.vdot(a, b)
     return jnp.vdot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 

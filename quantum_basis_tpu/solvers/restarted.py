@@ -47,7 +47,9 @@ class _DeviceOps:
         # ~2.5e-3 relative error would destroy Krylov orthogonality)
         prec = (jax.lax.Precision.HIGHEST
                 if self.dtype == jnp.dtype(jnp.float32) else None)
-        f64 = self.dtype == jnp.dtype(jnp.float64)
+        from quantum_basis_tpu.config import use_f64_reduce_dots
+        f64 = (self.dtype == jnp.dtype(jnp.float64)
+               and use_f64_reduce_dots())
 
         def mm(a, b):
             """a @ b — f64 goes through broadcast-multiply + reduce, not

@@ -20,11 +20,23 @@ import jax.numpy as jnp
 from quantum_basis_tpu.ops import cplx as cx
 
 
+@pytest.fixture
+def force_reduce_dots():
+    """Force the TPU-style f64 reduce lowering (tests run on CPU, where
+    the auto mode keeps fast exact dot_general)."""
+    from quantum_basis_tpu import config
+
+    old = config.f64_reduce_dots
+    config.f64_reduce_dots = True
+    yield
+    config.f64_reduce_dots = old
+
+
 def _jaxpr_str(fn, *args):
     return str(jax.make_jaxpr(fn)(*args))
 
 
-def test_cx_vdot_f64_lowers_to_reduce():
+def test_cx_vdot_f64_lowers_to_reduce(force_reduce_dots):
     a = jnp.zeros(16, jnp.float64)
     assert "dot_general" not in _jaxpr_str(
         lambda x, y: cx.vdot_re((x, None), (y, None)), a, a)
@@ -41,7 +53,7 @@ def test_cx_vdot_f32_keeps_dot_general():
         lambda x, y: cx.vdot_re((x, None), (y, None)), a, a)
 
 
-def test_restarted_deviceops_f64_avoids_dot_general():
+def test_restarted_deviceops_f64_avoids_dot_general(force_reduce_dots):
     """The CGS2 projection/subtraction/compaction of the thick-restart
     solver must not emit dot_general at f64 (orthogonality was measured at
     4e-8 on chip through the matmul path, 1e-14 through reduce)."""
