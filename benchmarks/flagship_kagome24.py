@@ -9,10 +9,13 @@ independent ways on the TPU chip:
 2. every momentum sector k in the 2x4 Brillouin zone grid via the
    momentum-filtered full-space path (ops/translate_fullspace.py).
 
-Success criteria (BASELINE.md / the north star):
+Success criteria enforced by this artifact:
 - sum_k dim(k) == dim(full)  (resolution of identity over sectors);
-- E0(k=0) == E0(full) to 1e-10  (two independent algorithms);
-- min_k E0(k) == E0(full) to 1e-10.
+- min_k E0(k) == E0(full) to 1e-10  (two independent algorithms: the
+  full-sector solve vs the momentum-projected sector solves).
+The ground-state momentum is a RESULT, not an assumption — for this
+cluster it sits at k=(0,2), so "E0(k=0) == E0(full)" is reported as
+informational (checks.k0_matches_full_1e-10) but not gated on.
 
 Writes FLAGSHIP_kagome24.json at the repo root and prints a summary table.
 Scaled-up version of the reference's 12-site anchor

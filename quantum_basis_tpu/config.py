@@ -144,3 +144,16 @@ def initialize(enable_checkpoint: bool = False, quiet: bool = False,
     print(f"checkpoint : {'enabled -> ' + ckpt_dir if enable_ckpt else 'disabled'}")
     print(f"pid        : {os.getpid()}")
     print("=" * 64)
+
+
+# ---------------------------------------------------------------- program keys
+# Monotonic ids for solver program sharing (solvers key their jitted-ops
+# caches on an operator template's ``program_key``; a recycled id() could
+# alias two templates, so keys come from this counter instead).
+import itertools as _itertools
+
+_program_key_counter = _itertools.count(1)
+
+
+def next_program_key() -> int:
+    return next(_program_key_counter)

@@ -27,6 +27,7 @@ from quantum_basis_tpu.basis.site_basis import SiteBasis
 from quantum_basis_tpu.basis.state import StateSpace
 from quantum_basis_tpu.ops import cplx as cx
 from quantum_basis_tpu.ops.apply import DeviceBasis, MatvecFull, mopr_x_vec
+from quantum_basis_tpu.config import next_program_key
 from quantum_basis_tpu.ops.compile import compile_operator
 from quantum_basis_tpu.ops.dense import dense_matrix
 from quantum_basis_tpu.ops.operators import Mopr, Opr, OprProd
@@ -156,12 +157,27 @@ class Model:
             op = Mopr([op])
         self.Ham += op
         self._compiled = None
+        self._ham_fp = None
 
     @property
     def compiled_Ham(self):
         if self._compiled is None:
             self._compiled = compile_operator(self.Ham, self.space)
         return self._compiled
+
+    def _ham_fingerprint(self) -> int:
+        """Content CRC of the compiled Hamiltonian — folded into every
+        solve-stage checkpoint key so a stale ``out_Qckpt/`` written by a
+        model with different couplings (same sector dim) is ignored instead
+        of silently returned. Same pattern as the Wannier eigenvector cache
+        below (cf. the reference's cache re-validation,
+        src/model.cc:2163-2187)."""
+        fp = getattr(self, "_ham_fp", None)
+        if fp is None:
+            from quantum_basis_tpu.ops.compile import operator_fingerprint
+
+            fp = self._ham_fp = operator_fingerprint(self.compiled_Ham)
+        return fp
 
     def compile_op(self, op):
         if isinstance(op, Opr):
@@ -432,7 +448,11 @@ class Model:
                     proj = MomentumProjector(rolls, sector.momentum,
                                              dtype=dtype, force_complex=True)
                     template = ProjectedFullOp(base, proj)
-                    template.program_key = (id(template), str(dtype))
+                    # monotonic key, NOT id(): an id can be recycled after
+                    # gc, which would hand a new template another
+                    # template's cached jitted ops (solver caches key on
+                    # program_key; see solvers/restarted.py::_device_ops)
+                    template.program_key = (next_program_key(), str(dtype))
                 shared[dtype] = template
             if template is not None:
                 proj_k = MomentumProjector(rolls, sector.momentum,
@@ -471,7 +491,7 @@ class Model:
 
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 
-        key = f"lczsE0_full_sec{sec}_nev{nev}"
+        key = f"lczsE0_full_sec{sec}_nev{nev}_h{self._ham_fingerprint():08x}"
         done = self._ckpt_stage_load(key, complex_h)
         if done is not None:
             evals, vecs = done
@@ -1026,10 +1046,25 @@ class Model:
         Oh = 0.5 * (Ot + Ot.dagger())
         Oa = (-0.5j) * (Ot - Ot.dagger())
         out = 0.0 + 0.0j
+        cache = getattr(self, "_repr_meas_cache", None)
+        if cache is None:
+            cache = self._repr_meas_cache = {}
         for part, factor in ((Oh, 1.0), (Oa, 1.0j)):
             if part.q_zero():
                 continue
-            mv = MatvecRepr(compile_operator(part, self.space), sector.dbasis)
+            from quantum_basis_tpu.ops.compile import operator_fingerprint
+
+            comp = compile_operator(part, self.space)
+            # cache the device-resident MatvecRepr per (sector, operator):
+            # a correlator sweep re-measures the same O at many distances —
+            # rebuilding the matvec re-paid table upload + jit every call
+            ck = (sec, tuple(np.atleast_1d(sector.momentum).tolist()),
+                  sector.dim, operator_fingerprint(comp))
+            mv = cache.get(ck)
+            if mv is None:
+                if len(cache) > 64:
+                    cache.clear()
+                mv = cache[ck] = MatvecRepr(comp, sector.dbasis)
             y = mv(phi)
             re, im = cx.vdot(phi, y)
             val = float(re)  # Hermitian part: expectation is real
@@ -1296,7 +1331,8 @@ class Model:
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 
         kstr = "_".join(str(x) for x in getattr(sector, "momentum", ()))
-        key = f"lczsE0_repr_sec{sec}_K{kstr}_nev{nev}"
+        key = (f"lczsE0_repr_sec{sec}_K{kstr}_nev{nev}"
+               f"_h{self._ham_fingerprint():08x}")
         done = self._ckpt_stage_load(key, True)
         if done is not None:
             evals, vecs = done

@@ -21,8 +21,9 @@ The diagonal stays one elementwise pass computed from a label iota.
 Why this is the right TPU design: the roll engine is HBM-bound at ~2 passes
 per bond (L=24 chain: 49 passes, 55 ms/apply in f64); the window engine
 reads x O(#windows + #frames) times and turns the per-bond work into MXU
-flops, measured 4.0 ms/apply in f32 on the same workload (9.1e9 sector
-nnz/s on a v5e chip). Supports any mixed-radix site dimension (the joint
+flops — driver-captured bench on the same workload: 6.4-6.6 ms/apply in
+f32, 5.5-5.7e9 sector nnz/s on a v5e chip (BENCH_r02/r04.json), an ~8x
+win over the roll engine. Supports any mixed-radix site dimension (the joint
 matrices are exact — no popcount constraint for window terms, unlike the
 roll engine) and any dtype (f32 for the mixed-precision Krylov path, f64
 for exact verification on CPU).

@@ -215,7 +215,10 @@ class _DeviceOps:
         self.insert_random = jax.jit(insert_random)
 
 
-_DOPS_CACHE: dict = {}
+from collections import OrderedDict
+
+_DOPS_CACHE: OrderedDict = OrderedDict()
+_DOPS_CACHE_MAX = 8  # each entry pins compiled executables (HBM + host)
 
 
 def _device_ops(matvec, n, ncv, complex_vec):
@@ -227,6 +230,12 @@ def _device_ops(matvec, n, ncv, complex_vec):
     template (models/model.py::_SectorOpView) carry the template's
     ``program_key``; their traced structure is identical and the per-sector
     arrays travel through ``params``, so the jitted ops can be reused.
+
+    LRU-bounded: entries pin compiled executables for their lifetime, so
+    solving many models sequentially must not accumulate them forever.
+    Eviction is safe because program_keys are monotonic (config.
+    next_program_key) — an evicted key can never be reissued to a
+    different operator.
     """
     pk = getattr(matvec, "program_key", None)
     if pk is None:
@@ -235,6 +244,10 @@ def _device_ops(matvec, n, ncv, complex_vec):
     ops = _DOPS_CACHE.get(key)
     if ops is None:
         ops = _DOPS_CACHE[key] = _DeviceOps(matvec, n, ncv, complex_vec)
+        while len(_DOPS_CACHE) > _DOPS_CACHE_MAX:
+            _DOPS_CACHE.popitem(last=False)
+    else:
+        _DOPS_CACHE.move_to_end(key)
     return ops
 
 

@@ -40,7 +40,13 @@ from quantum_basis_tpu.ops import cplx as cx
 
 _TINY = 1e-300
 
-_PROGRAM_CACHE: dict = {}  # (program keys, complex) -> (outer_fn, inner_fn)
+from collections import OrderedDict
+
+# (program keys, complex) -> (outer_fn, inner_fn); LRU-bounded — entries pin
+# compiled executables, and monotonic program_keys (config.next_program_key)
+# make eviction safe (an evicted key is never reissued to a new operator).
+_PROGRAM_CACHE: OrderedDict = OrderedDict()
+_PROGRAM_CACHE_MAX = 8
 
 
 def _make_outer(fs64, complex_vec):
@@ -210,6 +216,20 @@ def _make_inner(fs32, complex_vec):
     return jax.jit(inner)
 
 
+def _rqi_rec(best, x_re, x_im, outer, complex_vec, pending):
+    """Checkpoint record: the iterate to resume from (x_*) and the best
+    evaluated iterate (best_*) as separate fields; ``pending`` marks x_* as
+    not-yet-evaluated so the metadata never claims best's rnorm for it."""
+    return {
+        "x_re": np.asarray(x_re),
+        "x_im": (np.asarray(x_im) if complex_vec else np.zeros(1)),
+        "outer": outer, "pending": bool(pending),
+        "best_re": np.asarray(best[2]),
+        "best_im": (np.asarray(best[3]) if complex_vec else np.zeros(1)),
+        "best_theta": best[1], "best_rnorm": best[0],
+    }
+
+
 def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
                inner: int = 240, inner_max: int = 1920, ckpt_key=None,
                log=None):
@@ -238,6 +258,10 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
         if fns is None:
             fns = _PROGRAM_CACHE[key] = (_make_outer(fs64, complex_vec),
                                          _make_inner(fs32, complex_vec))
+            while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+                _PROGRAM_CACHE.popitem(last=False)
+        else:
+            _PROGRAM_CACHE.move_to_end(key)
         outer_fn, inner_fn = fns
     else:
         outer_fn = _make_outer(fs64, complex_vec)
@@ -260,6 +284,7 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
 
     store = active_store() if ckpt_key else None
     n_outer0 = 0
+    best = None  # (rnorm, theta, x_re HOST, x_im HOST)
     if store is not None:
         rec = store.load(ckpt_key)
         if rec is not None and rec["x_re"].shape == np.asarray(xr).shape:
@@ -267,6 +292,14 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
             if complex_vec:
                 xi = jnp.asarray(rec["x_im"])
             n_outer0 = min(int(rec["outer"]), max_outer - 1)
+            # best is persisted SEPARATELY from the (possibly unevaluated)
+            # pending iterate in x_re: if a correction step diverged before
+            # the crash, resume evaluates the pending x but still falls
+            # back to best rather than losing it.
+            if "best_re" in rec:
+                best = (float(rec["best_rnorm"]), float(rec["best_theta"]),
+                        np.asarray(rec["best_re"]),
+                        np.asarray(rec["best_im"]) if complex_vec else None)
 
     # HBM discipline at N = 2^24 f64 (16 GB chip): between phases ALL
     # vector state lives on HOST — the f64 outer and f32 inner programs
@@ -282,7 +315,6 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
 
         return jax.device_put(jnp.asarray(np.asarray(a, np.float32)))
 
-    best = None  # (rnorm, theta, x_re HOST, x_im HOST)
     n_inner_tot = 0
     cur_inner = int(inner)
     prev_rn = None
@@ -306,11 +338,8 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
         if best is None or rn < best[0]:
             best = (rn, theta, x_h[0], x_h[1])
         if store is not None:
-            store.save(ckpt_key, {
-                "x_re": best[2],
-                "x_im": (best[3] if complex_vec else np.zeros(1)),
-                "theta": best[1], "rnorm": best[0], "outer": it + 1,
-            })
+            store.save(ckpt_key, _rqi_rec(best, best[2], best[3], it + 1,
+                                          complex_vec, pending=False))
         if rn < tol:
             break
         if prev_rn is not None and rn > 0.5 * prev_rn:
@@ -336,12 +365,12 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
             # persist the UPDATED iterate immediately: a crash between the
             # inner solve and the next outer evaluation must not discard
             # the correction (observed: per-attempt OOM at the second
-            # outer made every resume restart from the same stale x)
-            store.save(ckpt_key, {
-                "x_re": x_h[0],
-                "x_im": (x_h[1] if complex_vec else np.zeros(1)),
-                "theta": best[1], "rnorm": best[0], "outer": it + 1,
-            })
+            # outer made every resume restart from the same stale x).
+            # pending=True: x_re holds an iterate that has NOT been
+            # evaluated yet — its quality is unknown; best travels in the
+            # best_* fields.
+            store.save(ckpt_key, _rqi_rec(best, x_h[0], x_h[1], it + 1,
+                                          complex_vec, pending=True))
 
     rn, theta, xr_h, xi_h = best
     xr = jnp.asarray(xr_h)

@@ -74,7 +74,8 @@ def test_model_stage_checkpoint(tmp_path, monkeypatch):
     m.enumerate_basis_full([ops["Sz"]], [0.0])
     m.locate_E0_lanczos("full", nev=1, ncv=1)
     E0_first = m.eigenvals_full[0]
-    assert CkptStore(str(tmp_path)).load("lczsE0_full_sec0_nev1") is not None
+    skey = f"lczsE0_full_sec0_nev1_h{m._ham_fingerprint():08x}"
+    assert CkptStore(str(tmp_path)).load(skey) is not None
 
     # poison the solver: a second real run would crash; the stage record
     # must short-circuit it
@@ -166,3 +167,29 @@ def test_lanczos_dynamics_resume(tmp_path, monkeypatch):
     np.testing.assert_allclose(a, a_ref, atol=1e-9)
     np.testing.assert_allclose(b, b_ref, atol=1e-9)
     assert CkptStore(str(tmp_path)).load("dyn_test") is None
+
+
+def test_stage_key_carries_ham_fingerprint(tmp_path, monkeypatch):
+    """Changing one coupling must invalidate the stage record: model B run
+    in a cwd holding model A's out_Qckpt/ (same sector dim) must NOT be
+    handed A's eigenvalues (VERDICT r04 weak #4)."""
+    monkeypatch.setattr(config, "enable_ckpt", True)
+    monkeypatch.setattr(config, "ckpt_dir", str(tmp_path))
+
+    from models_zoo import heisenberg_chain
+
+    m, ops = heisenberg_chain(12)
+    m.enumerate_basis_full([ops["Sz"]], [0.0])
+    m.locate_E0_lanczos("full", nev=1, ncv=1)
+    E0_a = m.eigenvals_full[0]
+
+    # model B: same lattice/sector dim, one coupling changed
+    from quantum_basis_tpu import Opr
+
+    m2, ops2 = heisenberg_chain(12)
+    SZ = np.array([0.5, -0.5])
+    m2.add_Ham(0.37 * (Opr(0, 0, False, SZ) * Opr(1, 0, False, SZ)))
+    assert m2._ham_fingerprint() != m._ham_fingerprint()
+    m2.enumerate_basis_full([ops2["Sz"]], [0.0])
+    m2.locate_E0_lanczos("full", nev=1, ncv=1)
+    assert m2.eigenvals_full[0] != E0_a  # solved fresh, not A's record
