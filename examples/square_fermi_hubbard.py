@@ -49,6 +49,50 @@ def build(Lx, Ly, t=1.0, U=1.1):
     return m, lat, Nup, Ndn
 
 
+C1 = np.array([[0.0, 1.0], [0.0, 0.0]])  # spinless annihilation
+N1 = np.array([0.0, 1.0])                # spinless occupation (diagonal)
+
+
+def build_factorized(Lx, Ly, t=1.0, U=1.1, Nf=None):
+    """Species-factorized Hubbard (the TPU-first formulation).
+
+    In the species-major Jordan-Wigner ordering the up and down species
+    decouple into two copies of a SPINLESS-fermion hopping factor on the
+    same lattice, coupled only by the diagonal U sum_i n_i^up (x) n_i^dn.
+    Eigenvalues are ordering-independent, so this cross-checks against the
+    site-major 'electron' encoding of :func:`build` at 1e-8
+    (reference golden: trans_absent square_Fermi_Hubbard.cc:113).
+
+    Returns (ProductModel, factor Model); the factor sector is N = Nf
+    fermions (default half filling).
+    """
+    from quantum_basis_tpu.models.product import ProductModel
+    from quantum_basis_tpu.ops.operators import OprProd
+
+    lat = Lattice("square", [Lx, Ly], ["pbc", "pbc"])
+    ms = Model(lat)
+    ms.add_orbital(lat.n_sites, "spinless-fermion")
+    Nop = Mopr()
+    for x in range(Lx):
+        for y in range(Ly):
+            i = lat.coor2site([x, y], 0)
+            ci = Opr(i, 0, True, C1)
+            for dx, dy in ((1, 0), (0, 1)):
+                j = lat.coor2site([x + dx, y + dy], 0)
+                cj = Opr(j, 0, True, C1)
+                ms.add_Ham((-t) * (ci.dagger() * cj))
+                ms.add_Ham((-t) * (cj.dagger() * ci))
+            Nop += ci.dagger() * ci
+    if Nf is None:
+        Nf = lat.n_sites // 2
+    ms.enumerate_basis_full([Nop], [float(Nf)])
+    pairs = []
+    for s in range(lat.n_sites):
+        n_s = Mopr([OprProd(1.0, [Opr(s, 0, False, N1)])])
+        pairs.append((n_s, n_s))
+    return ProductModel(ms, None, coupling=pairs, coupling_scale=U), ms
+
+
 def main():
     # full sector (trans_absent square_Fermi_Hubbard.cc:113,122)
     m, lat, Nup, Ndn = build(4, 2)
