@@ -1,27 +1,27 @@
-"""Fermi-Hubbard 4x4 at half filling — the 2^32-label-space workload.
+"""Fermi-Hubbard 4x4 at half filling — BASELINE config #3, solved on chip.
 
-BASELINE config #3 (reference driver:
-examples/trans_absent/latt_square/square_Fermi_Hubbard.cc scaled from 4x2 to
-4x4): U=1.1, N_up = N_dn = 8, label space 4^16 = 2^32, sector dim
-C(16,8)^2 = 165,636,900.
+U=1.1, N_up = N_dn = 8, sector dim C(16,8)^2 = 165,636,900 — the scale-out
+workload of the framework (the reference's anchor stops at 4x2,
+examples/trans_absent/latt_square/square_Fermi_Hubbard.cc:113).
 
-Pipeline demonstrated end to end:
-1. combinatorial meet-in-the-middle sector enumeration
-   (basis/enumerate.py:enumerate_basis_dnc) — the chunked d^N scan is
-   hopeless at 2^32;
-2. generalized Lin-table indexing over the 8+8-site sublattice split
-   (Ja[label % 4^8] + Jb[label // 4^8], cf. fill_Lin_table,
-   reference src/basis.cc:1193-1348) — two O(1) gathers per image lookup
-   where binary search would pay log2(1.66e8) = 28 probes;
-3. matrix-free Lanczos iterations with basis rows sharded over a device
-   mesh (parallel/apply_sharded.py), measured iterations/second.
+TPU-first formulation (models/product.py, ops/apply_kron.py): in the
+species-major Jordan-Wigner ordering the sector factorizes as
+up (x) down, so the 1.66e8-dim state vector is a (12870, 12870) matrix and
+one H application is two dense 12870^3 MXU matmuls + one elementwise pass
+— no 1.66e8-label enumeration, no Lin table, no residency build. The
+previous row-gather formulation needed 869 s of setup and managed
+0.0121 iter/s on 8 virtual CPU devices; this one runs the full
+mixed-precision pipeline (f32 thick-restart bulk -> f64 RQI polish with
+the hard residual gate) on one chip.
 
-By default runs a bounded number of Lanczos cycles and reports how far the
-Ritz value got (the residual bound |theta - E0| <= ||r|| quantifies it);
-pass --inner/--cycles to push further. Writes HUBBARD4x4.json.
+Protocol:
+1. 4x2 golden cross-check (E0 = -14.07605866, reference golden) through
+   the SAME ProductModel path on the same backend;
+2. 4x4 solve, checkpointed (out_Qckpt/) and resumable; publishes E0 with
+   the exact f64 residual ||Hx - E0 x|| and the gate verdict.
 
-Run (8 virtual CPU devices):
-    python benchmarks/hubbard4x4.py --devices 8
+Run (real chip):   python benchmarks/hubbard4x4.py
+    (CPU check):   python benchmarks/hubbard4x4.py --platform cpu --skip-4x4
 """
 
 from __future__ import annotations
@@ -35,109 +35,120 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--devices", type=int, default=8)
-    ap.add_argument("--platform", default="cpu",
-                    help="cpu (virtual mesh) or leave the default backend")
-    ap.add_argument("--inner", type=int, default=12,
-                    help="Lanczos steps per fused cycle")
-    ap.add_argument("--cycles", type=int, default=1)
-    ap.add_argument("--block-rows", type=int, default=1 << 19)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); default = chip")
+    ap.add_argument("--skip-4x4", action="store_true")
+    ap.add_argument("--maxit", type=int, default=4000)
+    ap.add_argument("--ncv", type=int, default=8,
+                    help="f32 thick-restart basis size (HBM-bound: ncv+1 "
+                         "rows of 662 MB each)")
     ap.add_argument("--out", default="HUBBARD4x4.json")
     args = ap.parse_args()
 
-    if args.platform == "cpu":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={args.devices}"
-            ).strip()
-        os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault(
+        "QBX_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".xla_cache"))
     import jax
 
-    if args.platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
     import numpy as np
 
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), "examples"))
-    from square_fermi_hubbard import build
+    from quantum_basis_tpu import config, initialize
+    from square_fermi_hubbard import build_factorized
 
-    from quantum_basis_tpu import initialize
-    from quantum_basis_tpu.basis.enumerate import enumerate_basis_dnc
-    from quantum_basis_tpu.basis.index import BasisIndex
-    from quantum_basis_tpu.basis.lin_table import digit_split
-    from quantum_basis_tpu.ops.apply import DeviceBasis
-    from quantum_basis_tpu.parallel import MatvecSharded, basis_mesh
-    from quantum_basis_tpu.solvers.lanczos import lanczos_ground
-    from quantum_basis_tpu.utils.rng import vec_randomize
+    initialize(enable_checkpoint=True, quiet=True)
+    config.solver_log_dir = "out_logs"
+    # allow the one-shot f32 stage-result record (662 MB) — worth a ~1 min
+    # pull for a warm resume of the whole bulk stage; the multi-GB
+    # per-outer RQI records stay over the cap and are skipped
+    config.ckpt_max_bytes = 2 << 30
+    backend = jax.devices()[0].platform
+    print(f"backend: {backend} ({jax.devices()[0].device_kind})", flush=True)
 
-    initialize(quiet=True)
-    t_all = time.time()
-    m, lat, Nup, Ndn = build(4, 4)
-    space = m.space
-    print(f"label space 4^16 = {space.label_space}", flush=True)
-
-    # 1. combinatorial enumeration
+    # ---- 1. golden cross-check through the same path ----
     t0 = time.time()
-    labels = enumerate_basis_dnc(space, [Nup, Ndn], [8.0, 8.0])
-    t_enum = time.time() - t0
-    assert labels is not None
-    dim = int(labels.size)
-    print(f"sector dim = {dim}  (enumerate {t_enum:.1f}s)", flush=True)
-    assert dim == 165_636_900, dim
-
-    # 2. Lin-table index over the sublattice split
-    t0 = time.time()
-    split = digit_split(space)
-    index = BasisIndex(labels, space.label_space, mode="lin", lin_split=split)
-    t_lin = time.time() - t0
-    print(f"index mode = {index.mode} (split {split})  [{t_lin:.1f}s]",
-          flush=True)
-
-    # 3. device residency + sharded matrix-free Lanczos
-    t0 = time.time()
-    compiled = m.compiled_Ham
-    dbasis = DeviceBasis(space, labels, index=index,
-                         block_rows=args.block_rows)
-    mesh = basis_mesh(args.devices if args.platform == "cpu"
-                      else len(jax.devices()))
-    mv = MatvecSharded(compiled, dbasis, mesh)
-    t_build = time.time() - t0
-    print(f"device residency + sharded matvec build: {t_build:.1f}s "
-          f"({dbasis.n_blocks} blocks x {dbasis.block_rows} rows, "
-          f"mesh {mesh.shape})", flush=True)
-
-    re, _ = vec_randomize(dim, seed=1)
-    v0 = mv.pad((jnp.asarray(re), None))
-
-    t0 = time.time()
-    out = lanczos_ground(mv, v0, maxit=args.cycles * (2 * args.inner + 1),
-                         inner=args.inner, want_vector=False)
-    t_solve = time.time() - t0
-    iters = out["niter"]
-    print(f"{iters} Lanczos matvecs in {t_solve:.1f}s "
-          f"({iters / t_solve:.3f} iters/s)", flush=True)
-    print(f"Ritz E0 estimate = {out['E0']:.9f}  "
-          f"(|theta - E0| <= residual = {out['residual']:.2e})", flush=True)
+    pm42, _ = build_factorized(4, 2)
+    E42 = pm42.locate_E0_lanczos(mixed=True)
+    t42 = time.time() - t0
+    ok42 = abs(E42 - (-14.07605866)) < 1e-8
+    print(f"4x2 golden: E0 = {E42:.9f} (ref -14.07605866) "
+          f"[{'OK' if ok42 else 'FAIL'}] {t42:.1f}s", flush=True)
+    assert ok42, E42
 
     rec = {
         "workload": "fermi_hubbard_4x4_halffilling_U1.1",
-        "label_space": int(space.label_space),
-        "dim": dim,
-        "devices": int(np.prod(list(mesh.shape.values()))),
-        "backend": jax.devices()[0].platform,
-        "index_mode": index.mode,
-        "timings_s": {"enumerate": round(t_enum, 1),
-                      "lin_table": round(t_lin, 1),
-                      "residency": round(t_build, 1),
-                      "solve": round(t_solve, 1),
-                      "total": round(time.time() - t_all, 1)},
-        "lanczos": {"matvecs": int(iters),
-                    "iters_per_s": round(iters / t_solve, 4),
-                    "E0_ritz": float(out["E0"]),
-                    "residual_bound": float(out["residual"])},
+        "formulation": "species-factorized (up x down), models/product.py",
+        "backend": backend,
+        "golden_4x2": {"E0": E42, "ref": -14.07605866, "ok": ok42,
+                       "wall_s": round(t42, 1)},
     }
+    if args.skip_4x4:
+        print(json.dumps(rec))
+        return
+
+    # ---- 2. the 4x4 solve ----
+    import jax.numpy as jnp
+
+    t_all = time.time()
+    t0 = time.time()
+    pm, ms = build_factorized(4, 4)
+    assert pm.dim == 165_636_900, pm.dim
+    t_build = time.time() - t0
+    print(f"factor dim {pm.na} (x) {pm.nb} = {pm.dim}  "
+          f"[factor ELL + coupling build {t_build:.1f}s]", flush=True)
+
+    # matvec throughput (the f32 bulk engine)
+    fs32 = pm.op(jnp.float32)
+    from quantum_basis_tpu.utils.rng import vec_randomize
+
+    re, _ = vec_randomize(pm.dim, seed=1)
+    x = (jnp.asarray(re, jnp.float32), None)
+    ap_jit = jax.jit(fs32.apply)
+    y = ap_jit(fs32.params, x)
+    jax.block_until_ready(y[0])
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        y = ap_jit(fs32.params, y)
+    jax.block_until_ready(y[0])
+    ms_apply = (time.time() - t0) / reps * 1e3
+    nnzs = fs32.nnz_estimate / (ms_apply / 1e3)
+    print(f"f32 apply: {ms_apply:.1f} ms  "
+          f"({nnzs:.3e} stored-nnz/s equivalent)", flush=True)
+    del x, y
+
+    t0 = time.time()
+    E0 = pm.locate_E0_lanczos(maxit=args.maxit, ncv=args.ncv, mixed=True)
+    t_solve = time.time() - t0
+    resid = getattr(pm, "_last_residual", None)
+    info = getattr(pm, "solve_info", {})
+    from quantum_basis_tpu.config import lanczos_precision
+
+    gate = max(1e3 * lanczos_precision * max(abs(E0), 1.0), 5e-10)
+    print(f"E0 = {E0:.12f}  residual {resid:.3e} < gate {gate:.3e}",
+          flush=True)
+
+    rec.update({
+        "dim": pm.dim,
+        "factor_dim": pm.na,
+        "status": "converged",
+        "E0": E0,
+        "residual_f64": resid,
+        "residual_gate": gate,
+        "gate_passed": bool(resid < gate),
+        "f32_apply_ms": round(ms_apply, 2),
+        "stored_nnz_per_s": round(nnzs, 1),
+        "timings_s": {"factor_build": round(t_build, 1),
+                      "solve": round(t_solve, 1),
+                      "total": round(time.time() - t_all, 1),
+                      **{k: v for k, v in info.items()
+                         if k.endswith("_s")}},
+        "solver": {k: v for k, v in info.items() if not k.endswith("_s")},
+    })
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec))

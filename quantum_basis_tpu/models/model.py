@@ -112,7 +112,15 @@ def _bind_project_host(proj, mask_np):
 
 
 class Model:
-    def __init__(self, lattice=None, n_secs: int = 5):
+    def __init__(self, lattice=None, n_secs: int = 5, mesh=None):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with one axis; when
+        set, sector solves route residency and matvecs through the sharded
+        engines automatically (EllShardedHalo / MatvecSharded, auto-picked
+        from halo_stats — see :meth:`_mesh_engine`), with Lanczos
+        reductions lowering to psum collectives. The reference's model
+        object is the single entry point for everything
+        (src/model.cc:74-177); the mesh keeps that true across devices."""
+        self.mesh = mesh
         self.lattice = lattice
         self._orbitals: list[tuple[SiteBasis, int]] = []
         self._space: StateSpace | None = None
@@ -488,6 +496,9 @@ class Model:
             sector.evals, sector.evecs = evals, vecs
             self._e0_sec = sec
             return
+        if self.mesh is not None:
+            return self._locate_E0_mesh(sector, "full", nev, ncv, maxit,
+                                        sec, seed)
 
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 
@@ -969,6 +980,89 @@ class Model:
     def dim_repr(self, sec: int = 0) -> int:
         return self.sec_repr[sec].dim
 
+    def set_mesh(self, mesh):
+        """Attach/replace the device mesh; clears per-sector sharded
+        engines so the next solve rebuilds them on the new mesh."""
+        self.mesh = mesh
+        for s in list(self.sec_full.values()) + list(self.sec_repr.values()):
+            if hasattr(s, "_mesh_mv"):
+                del s._mesh_mv
+
+    def _mesh_engine(self, sector, which: str):
+        """Auto-router for the multi-device engines (SURVEY §2.2/§5.8).
+
+        Builds the explicit ELL once (the reference likewise builds CSR
+        once and reuses it per MultMv, src/sparse.cc:113-328), constructs
+        the halo all-to-all engine, and keeps it when its per-apply
+        exchange volume beats the all-gather strategy
+        (``halo_stats()["traffic_ratio"] < 1``); otherwise falls back to
+        the gather-kernel :class:`MatvecSharded` (full sectors; repr
+        sectors always use the ELL halo engine — there is no repr gather
+        kernel variant). Returns (matvec, row-validity mask of n_pad).
+        """
+        cached = getattr(sector, "_mesh_mv", None)
+        if cached is not None and cached[0] is self.mesh:
+            return cached[1], cached[2]
+        from quantum_basis_tpu.ops.sparse import build_sparse_full
+        from quantum_basis_tpu.parallel import EllShardedHalo, MatvecSharded
+
+        if which == "repr":
+            ell = self._repr_ell(sector)
+        else:
+            if getattr(sector, "_ell", None) is None:
+                sector._ell = build_sparse_full(sector.matvec)
+            ell = sector._ell
+        mv = EllShardedHalo(ell, self.mesh)
+        stats = mv.halo_stats()
+        if which != "repr" and stats["traffic_ratio"] >= 1.0:
+            # halo exchange would move more than replicating the vector:
+            # matrix-free all-gather engine wins (and drops the ELL copy)
+            mv = MatvecSharded(self.compiled_Ham, sector.dbasis, self.mesh)
+        row_mask = np.zeros(mv.n_pad)
+        row_mask[: sector.dim] = 1.0
+        sector._mesh_mv = (self.mesh, mv, row_mask)
+        return mv, row_mask
+
+    def _locate_E0_mesh(self, sector, which: str, nev, ncv, maxit, sec,
+                        seed):
+        """Sector solve over the attached device mesh (public-API route —
+        no hand drivers): thick-restart Lanczos on the sharded engine,
+        reductions psum'd by GSPMD, fingerprinted stage checkpointing."""
+        from quantum_basis_tpu.solvers.restarted import eigs_smallest
+
+        complex_h = (getattr(sector.matvec, "is_complex", False)
+                     or which == "repr")
+        kstr = "_".join(str(x) for x in np.atleast_1d(
+            sector.momentum).tolist()) if sector.momentum is not None else ""
+        ndev = int(np.prod(list(self.mesh.shape.values())))
+        key = (f"lczsE0_{which}_sec{sec}_K{kstr}_nev{nev}_mesh{ndev}"
+               f"_h{self._ham_fingerprint():08x}")
+        done = self._ckpt_stage_load(key, complex_h)
+        if done is None:
+            mv, row_mask = self._mesh_engine(sector, which)
+            evals, vecs_p = eigs_smallest(
+                mv, mv.n_pad, nev=nev, ncv=max(12, 2 * nev + 6),
+                maxit=maxit, seed=seed, complex_vec=complex_h,
+                mask=row_mask, ckpt_key=key + "_krylov")
+            import jax.numpy as jnp
+
+            vecs = []
+            for v in vecs_p:
+                re, im = mv.unpad(v)
+                vecs.append((jnp.asarray(re),
+                             jnp.asarray(im) if im is not None else None))
+            self._ckpt_stage_save(key, evals, vecs)
+        else:
+            evals, vecs = done
+        if which == "repr":
+            self.eigenvals_repr = evals[:nev]
+            self.eigenvecs_repr = vecs[:max(ncv, 1)]
+        else:
+            self.eigenvals_full = evals[:nev]
+            self.eigenvecs_full = vecs[:max(ncv, 1)]
+            self._e0_sec = sec
+        sector.evals, sector.evecs = list(evals), list(vecs)
+
     def _repr_ell(self, sector):
         """Explicit ELL for a momentum sector, cached (one extraction pass
         replaces per-iteration orbit scans)."""
@@ -1327,6 +1421,9 @@ class Model:
             self.eigenvecs_repr = vecs[:max(ncv, 1)]
             sector.evals, sector.evecs = evals, vecs
             return
+        if self.mesh is not None:
+            return self._locate_E0_mesh(sector, "repr", nev, ncv, maxit,
+                                        sec, seed)
 
         from quantum_basis_tpu.solvers.restarted import eigs_smallest
 

@@ -141,11 +141,15 @@ class ProductModel:
             return self.eigenvals[0]
 
         # stage 1: f32 bulk on the dense MXU engine
+        import time as _time
+
         fs32 = self.op(jnp.float32)
         from quantum_basis_tpu.models.model import Model
 
+        t32 = _time.time()
         v0 = Model._f32_stage_cached(fs32, nev, ncv, maxit, seed,
                                      False, key)
+        t32 = _time.time() - t32
         if v0 is None:
             raise RuntimeError("f32 bulk stage failed to produce a vector")
         # stage 2: f64 RQI/JD polish on the exact-f64 engine
@@ -156,9 +160,17 @@ class ProductModel:
         v0 = cx.scale((jnp.asarray(v0[0], jnp.float64), None),
                       1.0 / float(cx.norm((jnp.asarray(v0[0], jnp.float64),
                                            None))))
+        tp = _time.time()
         out = rqi_polish(fs64, v0, fs32=fs32, ckpt_key=key + "_rqi",
                          log=lambda i, th, rn, ni: _solver_log(
                              "rqi_product", i, [th], [rn]))
+        self.solve_info = {
+            "f32_stage_s": round(t32, 1),
+            "polish_s": round(_time.time() - tp, 1),
+            "rqi_outer": out.get("n_outer"),
+            "rqi_inner_f32_matvecs": out.get("n_inner"),
+            "rqi_converged": out.get("converged"),
+        }
         if not out["converged"]:
             v0 = cx.scale(out["vector"],
                           1.0 / float(cx.norm(out["vector"])))

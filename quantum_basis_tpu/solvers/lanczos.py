@@ -204,13 +204,21 @@ def lanczos_ground(
         if best is None or rnorm < best[2]:
             best = (theta, v, rnorm)
         if store is not None:
-            store.save(ckpt_key, {
+            # capped like every other per-iteration save: past
+            # config.ckpt_max_bytes the device->host pull over a tunneled
+            # chip costs minutes per cycle; stage records still persist
+            from quantum_basis_tpu import config as _cfg
+
+            rec = {
                 "v_re": np.asarray(v[0]),
                 "v_im": np.asarray(v[1]) if v[1] is not None else np.zeros(1),
                 "b_re": np.asarray(best[1][0]),
                 "b_im": np.asarray(best[1][1]) if best[1][1] is not None else np.zeros(1),
                 "theta": best[0], "rnorm": best[2], "used": used,
-            })
+            }
+            if sum(a.nbytes for a in rec.values()
+                   if isinstance(a, np.ndarray)) <= _cfg.ckpt_max_bytes:
+                store.save(ckpt_key, rec)
         if r_tol_abs is None:
             r_tol_abs = max(1e3 * tol * max(abs(theta), 1.0), 5e-10)
         if rnorm < r_tol_abs:

@@ -216,6 +216,21 @@ def _make_inner(fs32, complex_vec):
     return jax.jit(inner)
 
 
+def _save_capped(store, key, payload):
+    """Respect config.ckpt_max_bytes: at very large N the per-outer
+    device->host pull of the iterate costs minutes over a tunneled chip
+    (stalling the run); past the cap the in-progress record is skipped —
+    the stage-level records still persist, so a crash redoes this stage
+    only (same policy as the thick-restart solver's boundary saves)."""
+    from quantum_basis_tpu import config
+
+    nbytes = sum(a.nbytes for a in payload.values()
+                 if isinstance(a, np.ndarray))
+    if nbytes > config.ckpt_max_bytes:
+        return
+    store.save(key, payload)
+
+
 def _rqi_rec(best, x_re, x_im, outer, complex_vec, pending):
     """Checkpoint record: the iterate to resume from (x_*) and the best
     evaluated iterate (best_*) as separate fields; ``pending`` marks x_* as
@@ -338,8 +353,9 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
         if best is None or rn < best[0]:
             best = (rn, theta, x_h[0], x_h[1])
         if store is not None:
-            store.save(ckpt_key, _rqi_rec(best, best[2], best[3], it + 1,
-                                          complex_vec, pending=False))
+            _save_capped(store, ckpt_key,
+                         _rqi_rec(best, best[2], best[3], it + 1,
+                                  complex_vec, pending=False))
         if rn < tol:
             break
         if prev_rn is not None and rn > 0.5 * prev_rn:
@@ -369,8 +385,9 @@ def rqi_polish(fs64, v0, fs32=None, tol=None, max_outer: int = 60,
             # pending=True: x_re holds an iterate that has NOT been
             # evaluated yet — its quality is unknown; best travels in the
             # best_* fields.
-            store.save(ckpt_key, _rqi_rec(best, x_h[0], x_h[1], it + 1,
-                                          complex_vec, pending=True))
+            _save_capped(store, ckpt_key,
+                         _rqi_rec(best, x_h[0], x_h[1], it + 1,
+                                  complex_vec, pending=True))
 
     rn, theta, xr_h, xi_h = best
     xr = jnp.asarray(xr_h)
