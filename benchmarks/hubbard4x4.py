@@ -39,7 +39,7 @@ def main():
                     help="force a jax platform (e.g. cpu); default = chip")
     ap.add_argument("--skip-4x4", action="store_true")
     ap.add_argument("--maxit", type=int, default=4000)
-    ap.add_argument("--ncv", type=int, default=8,
+    ap.add_argument("--ncv", type=int, default=6,
                     help="f32 thick-restart basis size (HBM-bound: ncv+1 "
                          "rows of 662 MB each)")
     ap.add_argument("--out", default="HUBBARD4x4.json")
@@ -101,7 +101,15 @@ def main():
     print(f"factor dim {pm.na} (x) {pm.nb} = {pm.dim}  "
           f"[factor ELL + coupling build {t_build:.1f}s]", flush=True)
 
-    # matvec throughput (the f32 bulk engine)
+    t0 = time.time()
+    E0 = pm.locate_E0_lanczos(maxit=args.maxit, ncv=args.ncv, mixed=True)
+    t_solve = time.time() - t0
+    resid = getattr(pm, "_last_residual", None)
+    if resid is None:
+        resid = float("nan")  # pre-residual stage record (shouldn't happen)
+
+    # matvec throughput (the f32 bulk engine) — timed AFTER the solve so
+    # the extra bench buffers never share the chip with the solver's peak
     fs32 = pm.op(jnp.float32)
     from quantum_basis_tpu.utils.rng import vec_randomize
 
@@ -110,21 +118,16 @@ def main():
     ap_jit = jax.jit(fs32.apply)
     y = ap_jit(fs32.params, x)
     jax.block_until_ready(y[0])
-    t0 = time.time()
+    t0b = time.time()
     reps = 10
     for _ in range(reps):
         y = ap_jit(fs32.params, y)
     jax.block_until_ready(y[0])
-    ms_apply = (time.time() - t0) / reps * 1e3
+    ms_apply = (time.time() - t0b) / reps * 1e3
     nnzs = fs32.nnz_estimate / (ms_apply / 1e3)
     print(f"f32 apply: {ms_apply:.1f} ms  "
           f"({nnzs:.3e} stored-nnz/s equivalent)", flush=True)
     del x, y
-
-    t0 = time.time()
-    E0 = pm.locate_E0_lanczos(maxit=args.maxit, ncv=args.ncv, mixed=True)
-    t_solve = time.time() - t0
-    resid = getattr(pm, "_last_residual", None)
     info = getattr(pm, "solve_info", {})
     from quantum_basis_tpu.config import lanczos_precision
 

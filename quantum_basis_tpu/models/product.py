@@ -108,7 +108,7 @@ class ProductModel:
 
     # ------------------------------------------------------------- solve
     def locate_E0_lanczos(self, nev: int = 1, maxit: int = 4000,
-                          ncv: int = 8, seed: int = 1,
+                          ncv: int = 6, seed: int = 1,
                           mixed: bool | None = None, log=print):
         """Ground state via the mixed-precision pipeline with a hard
         residual gate (cf. model::locate_E0_lanczos, src/model.cc:1123-1316;
@@ -128,7 +128,7 @@ class ProductModel:
         key = f"prodE0_dim{self.dim}_nev{nev}_h{self._fingerprint():08x}"
         done = self._stage_load(key)
         if done is not None:
-            self.eigenvals, self.eigenvecs = done
+            self.eigenvals, self.eigenvecs, self._last_residual = done
             return self.eigenvals[0]
         if mixed is None:
             mixed = config.mixed_precision or self.dim > (1 << 22)
@@ -147,8 +147,27 @@ class ProductModel:
         from quantum_basis_tpu.models.model import Model
 
         t32 = _time.time()
-        v0 = Model._f32_stage_cached(fs32, nev, ncv, maxit, seed,
-                                     False, key)
+        try:
+            v0 = Model._f32_stage_cached(fs32, nev, ncv, maxit, seed,
+                                         False, key)
+        except Exception as e:  # HBM fallback: 2-vector rolling kernel
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # the (ncv+1, N) thick-restart buffer (plus its donation copy)
+            # overflowed the chip; the rolling 2-vector kernel needs ~5
+            # vectors total. tol=1e-8 makes its residual gate match the
+            # thick path's f32 gate (1e3 * tol * |E0|).
+            log("f32 thick-restart OOM; falling back to rolling 2-vector "
+                "Lanczos")
+            from quantum_basis_tpu.solvers.lanczos import (
+                lanczos_ground as _lg)
+            from quantum_basis_tpu.utils.rng import vec_randomize
+
+            re, _ = vec_randomize(self.dim, seed=seed)
+            v32 = (jnp.asarray(re, jnp.float32), None)
+            out32 = _lg(fs32, v32, maxit=maxit, inner=48, tol=1e-8,
+                        ckpt_key=key + "_f32roll")
+            v0 = out32["vector"]
         t32 = _time.time() - t32
         if v0 is None:
             raise RuntimeError("f32 bulk stage failed to produce a vector")
@@ -186,14 +205,15 @@ class ProductModel:
             err.E0 = out["E0"]
             err.residual = out["residual"]
             raise err
-        self._publish(key, [out["E0"]], [out["vector"]])
+        self._publish(key, [out["E0"]], [out["vector"]],
+                      resid=out["residual"])
         self._last_residual = out["residual"]
         return self.eigenvals[0]
 
-    def _publish(self, key, evals, vecs):
+    def _publish(self, key, evals, vecs, resid=None):
         self.eigenvals = [float(e) for e in evals]
         self.eigenvecs = list(vecs)
-        self._stage_save(key, evals, vecs)
+        self._stage_save(key, evals, vecs, resid)
 
     # ------------------------------------------------- stage checkpointing
     def _stage_load(self, key):
@@ -210,9 +230,10 @@ class ProductModel:
         nev = int(rec["nev"])
         evals = [float(x) for x in rec["evals"]]
         vecs = [(jnp.asarray(rec[f"v{i}_re"]), None) for i in range(nev)]
-        return evals, vecs
+        resid = float(rec["resid"]) if "resid" in rec else None
+        return evals, vecs, resid
 
-    def _stage_save(self, key, evals, vecs):
+    def _stage_save(self, key, evals, vecs, resid=None):
         from quantum_basis_tpu import config
         from quantum_basis_tpu.utils.ckpt import active_store
 
@@ -220,6 +241,8 @@ class ProductModel:
         if store is None:
             return
         payload = {"nev": len(vecs), "evals": np.asarray(evals)}
+        if resid is not None:
+            payload["resid"] = float(resid)
         nbytes = sum(np.asarray(v[0]).nbytes for v in vecs)
         if nbytes > config.ckpt_max_bytes:
             return
