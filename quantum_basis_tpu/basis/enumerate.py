@@ -50,7 +50,8 @@ def _per_slot_tables(mopr, space):
 
 
 def enumerate_basis_dnc(space: StateSpace, conserve_lst, val_lst,
-                        leaf: int = 1 << 22, tol: float = _QN_TOL):
+                        leaf: int = 1 << 22, tol: float = _QN_TOL,
+                        tile_select=None, sort: bool = True):
     """Combinatorial sector enumeration by divide-and-conquer over slots.
 
     The chunked scan (below) is O(d^N) regardless of sector size — hopeless
@@ -141,14 +142,39 @@ def enumerate_basis_dnc(space: StateSpace, conserve_lst, val_lst,
                     out[key] = (lab, q)
         return out
 
-    top = rec(0, S)
+    top_size = int(np.prod(dims, dtype=np.int64))
     keep = []
-    for _, (lab, q) in top.items():
-        if np.all(np.abs(q - targets) < tol):
-            keep.append(lab)
+    if tile_select is None and (top_size <= leaf or S < 2):
+        top = rec(0, S)
+        for _, (lab, q) in top.items():
+            if np.all(np.abs(q - targets) < tol):
+                keep.append(lab)
+    else:
+        # explicit top-level join so the cross-product tiles can be
+        # distributed: tile i is computed only when i % nranks == rank
+        # (tile_select=(rank, nranks)). Deterministic tile order via
+        # sorted bucket keys; the union over ranks is exactly the
+        # single-host output (tests assert bit-identity after the
+        # distributed sample-sort merge).
+        mid = S // 2
+        left = rec(0, mid)
+        right = rec(mid, S)
+        tiles = []
+        for kl in sorted(left):
+            ll, ql = left[kl]
+            for kr in sorted(right):
+                lr, qr = right[kr]
+                if np.all(np.abs(ql + qr - targets) < tol):
+                    tiles.append((ll, lr))
+        for i, (ll, lr) in enumerate(tiles):
+            if tile_select is not None \
+                    and i % tile_select[1] != tile_select[0]:
+                continue
+            keep.append((ll[:, None] + lr[None, :]).ravel())
     if not keep:
         return np.empty(0, dtype=np.int64)
-    return np.sort(np.concatenate(keep))
+    out = np.concatenate(keep)
+    return np.sort(out) if sort else out
 
 
 def enumerate_basis(

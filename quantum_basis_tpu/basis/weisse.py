@@ -43,7 +43,8 @@ def _half_values(space, conserve_lst, labels_half):
 
 
 def enumerate_reps_dnc(tset, conserve_lst=None, val_lst=None,
-                       block: int = 1 << 20, with_dim: bool = False):
+                       block: int = 1 << 20, with_dim: bool = False,
+                       tile_select=None, sort: bool = True):
     """Momentum representatives without materializing the sector.
 
     Returns sorted representative labels; with ``with_dim`` also the total
@@ -78,9 +79,17 @@ def enumerate_reps_dnc(tset, conserve_lst=None, val_lst=None,
 
     reps = []
     dim = 0
+    tile_no = [0]
 
     def process(cands):
+        # one streamed tile; distributable round-robin by tile index
+        # (tile_select=(rank, nranks)); dim counts only OWNED tiles —
+        # the sharded wrapper sums it across ranks
         nonlocal dim
+        i = tile_no[0]
+        tile_no[0] += 1
+        if tile_select is not None and i % tile_select[1] != tile_select[0]:
+            return
         dim += cands.size
         for start in range(0, cands.size, block):
             lab = jnp.asarray(cands[start:start + block])
@@ -122,6 +131,7 @@ def enumerate_reps_dnc(tset, conserve_lst=None, val_lst=None,
                          + A[None, :]).reshape(-1)
                 process(strip)
 
-    out = (np.sort(np.concatenate(reps)) if reps
-           else np.empty(0, dtype=np.int64))
+    out = (np.concatenate(reps) if reps else np.empty(0, dtype=np.int64))
+    if sort:
+        out = np.sort(out)
     return (out, dim) if with_dim else out

@@ -157,3 +157,16 @@ _program_key_counter = _itertools.count(1)
 
 def next_program_key() -> int:
     return next(_program_key_counter)
+
+
+# --------------------------------------------------------- BSR engine routing
+# Explicit momentum-sector/tilted solves route through the Pallas BSR SpMV
+# kernel (ops/pallas_bsr.py) when the matrix's block fill-in blowup
+# (stored / nnz, bsr_fill_stats) stays below this bound on a TPU backend.
+# Cost model: BSR streams stored*4B at HBM bandwidth while the XLA gather
+# ELL pays random-access gathers per nonzero; the kernel wins while
+# stored/nnz < (HBM bandwidth / 4B) / gather-rate (~1e2-1e3); 32 is a
+# conservative cut. prefer_bsr = True/False overrides the routing entirely
+# (tests force True with the interpreter on CPU).
+bsr_blowup_max = 32.0
+prefer_bsr = None

@@ -201,7 +201,17 @@ class Model:
 
         cf. model::enumerate_basis_full (src/model.cc:253-271).
         """
-        labels = enumerate_basis(self.space, conserve_lst, val_lst)
+        labels = None
+        if self.mesh is not None and conserve_lst:
+            # distributed enumeration: dnc tiles over the mesh + sample-
+            # sort merge; None when a conserved op is not separable
+            from quantum_basis_tpu.parallel import (
+                enumerate_basis_dnc_sharded)
+
+            labels = enumerate_basis_dnc_sharded(
+                self.space, conserve_lst, val_lst, self.mesh)
+        if labels is None:
+            labels = enumerate_basis(self.space, conserve_lst, val_lst)
         s = Sector()
         s.labels = labels
         s.dim = int(labels.size)
@@ -724,7 +734,7 @@ class Model:
                 mask=fs.mask)
             vecs = [fs.to_sector(v) for v in vecs_full]
         else:
-            mv = self._repr_ell(sector) if which == "repr" else sector.matvec
+            mv = self._repr_spmv(sector) if which == "repr" else sector.matvec
             evals, vecs = eigs_smallest(mv, sector.dim, nev=nev,
                                         ncv=ncv, maxit=maxit, seed=seed,
                                         complex_vec=mv.is_complex)
@@ -745,7 +755,7 @@ class Model:
 
         sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
         complex_h = (sector.matvec.is_complex if which == "full" else True)
-        mv = self._repr_ell(sector) if which == "repr" else sector.matvec
+        mv = self._repr_spmv(sector) if which == "repr" else sector.matvec
         evals, vecs = eigs_smallest(
             mv, sector.dim, nev=nev, ncv=max(ncv, 2 * nev + 4),
             maxit=maxit, seed=seed, complex_vec=complex_h, which="LA",
@@ -770,7 +780,7 @@ class Model:
 
         sector = self.sec_full[sec] if which == "full" else self.sec_repr[sec]
         complex_h = (sector.matvec.is_complex if which == "full" else True)
-        mv = self._repr_ell(sector) if which == "repr" else sector.matvec
+        mv = self._repr_spmv(sector) if which == "repr" else sector.matvec
         evals, vecs = eigs_window(
             mv, sector.dim, e_lo, e_hi, nev_max=nev_max,
             degree=degree, n_iter=maxit, seed=seed, complex_vec=complex_h,
@@ -954,9 +964,20 @@ class Model:
                tuple(float(v) for v in (val_lst or [])), method)
         if self._repr_cache is None or self._repr_cache[0] != key:
             if method == "dnc":
-                from quantum_basis_tpu.basis.weisse import enumerate_reps_dnc
+                if self.mesh is not None:
+                    # distribute the streamed tiles over the mesh; merge
+                    # with the distributed sample sort (SURVEY §5.8)
+                    from quantum_basis_tpu.parallel import (
+                        enumerate_reps_dnc_sharded)
 
-                reps = enumerate_reps_dnc(self.tset, conserve_lst, val_lst)
+                    reps = enumerate_reps_dnc_sharded(
+                        self.tset, conserve_lst, val_lst, self.mesh)
+                else:
+                    from quantum_basis_tpu.basis.weisse import (
+                        enumerate_reps_dnc)
+
+                    reps = enumerate_reps_dnc(self.tset, conserve_lst,
+                                              val_lst)
                 labels = reps  # full sector never materialized
             else:
                 labels = enumerate_basis(self.space, conserve_lst, val_lst)
@@ -1062,6 +1083,39 @@ class Model:
             self.eigenvecs_full = vecs[:max(ncv, 1)]
             self._e0_sec = sec
         sector.evals, sector.evecs = list(evals), list(vecs)
+
+    def _repr_spmv(self, sector):
+        """Explicit-sparse engine for momentum-sector solves: the Pallas
+        BSR kernel when bsr_fill_stats says the block fill-in blowup is
+        acceptable on this backend (config.bsr_blowup_max; the kernel
+        streams dense blocks at HBM bandwidth where the XLA gather ELL
+        pays random access per nonzero — module docstring of
+        ops/pallas_bsr.py), else the gather ELL. Cached per sector."""
+        cached = getattr(sector, "_spmv", None)
+        if cached is not None:
+            return cached
+        ell = self._repr_ell(sector)
+        import jax
+
+        from quantum_basis_tpu import config
+
+        platform = jax.devices()[0].platform
+        use = config.prefer_bsr
+        if use is None:
+            if platform == "tpu" and ell.width > 0:
+                from quantum_basis_tpu.ops.pallas_bsr import bsr_fill_stats
+
+                use = (bsr_fill_stats(ell)["blowup"]
+                       <= config.bsr_blowup_max)
+            else:
+                use = False
+        mv = ell
+        if use:
+            from quantum_basis_tpu.ops.pallas_bsr import ell_to_bsr
+
+            mv = ell_to_bsr(ell, interpret=(platform != "tpu"))
+        sector._spmv = mv
+        return mv
 
     def _repr_ell(self, sector):
         """Explicit ELL for a momentum sector, cached (one extraction pass
@@ -1457,7 +1511,7 @@ class Model:
                 vecs = [sector.dbasis.from_full(v) for v in vecs_full]
             else:
                 evals, vecs = eigs_smallest(
-                    self._repr_ell(sector), sector.dim, nev=nev,
+                    self._repr_spmv(sector), sector.dim, nev=nev,
                     ncv=ncv_,
                     maxit=maxit, seed=seed, complex_vec=True,
                     ckpt_key=key + "_krylov",

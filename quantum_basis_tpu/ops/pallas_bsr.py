@@ -37,9 +37,14 @@ convention as the rest of the framework (ops/cplx.py): up to four real
 block-matvec streams per apply. The diagonal stays a separate elementwise
 pass, like every other engine here.
 
-Tests run the kernel in interpret mode on CPU (bit-identical math) and
-cross-check against the ELL apply on golden models; the bench path runs it
-compiled on the chip.
+Production routing: explicit momentum-sector solves go through
+``Model._repr_spmv``, which picks this kernel over the gather ELL when
+``bsr_fill_stats`` reports blowup <= config.bsr_blowup_max on a TPU
+backend. Tests run the kernel in interpret mode on CPU (bit-identical
+math) and cross-check against the ELL apply on golden models, including a
+full golden momentum-sector solve on BSR; ``benchmarks/bsr_bench.py``
+runs it compiled on the chip and records nnz/s vs the gather ELL
+(BSR_BENCH.json).
 """
 
 from __future__ import annotations

@@ -148,3 +148,25 @@ def test_bsr_diagonal_only_matrix():
     assert bsr.nb == -(-n // 128)
     x = _rand_cvec(n, False)
     _close(bsr(x), ell(x))
+
+
+def test_bsr_routed_golden_momentum_sector(monkeypatch):
+    """A golden momentum sector solved END TO END on the BSR kernel via the
+    public Model API: chain-16 k=0, E0 = -7.142296361 (reference golden,
+    trans_symmetric chain_Heisenberg_spin_half.cc:102). config.prefer_bsr
+    forces the routing (interpret-mode kernel on CPU); the projected
+    full-space fast path is disabled so the explicit-sparse branch runs."""
+    from quantum_basis_tpu import config
+    from quantum_basis_tpu.models.model import Model
+    from models_zoo import heisenberg_chain
+
+    monkeypatch.setattr(config, "prefer_bsr", True)
+    monkeypatch.setattr(Model, "_fullspace_repr_op",
+                        lambda self, sector, dtype=None: None)
+    m, ops = heisenberg_chain(16)
+    m.enumerate_basis_repr([0], [ops["Sz"]], [0.0])
+    m.locate_E0_lanczos(which="repr")
+    assert abs(m.eigenvals_repr[0] - (-7.142296361)) < 1e-8
+    from quantum_basis_tpu.ops.pallas_bsr import BsrMatrix
+
+    assert isinstance(m.sec_repr[0]._spmv, BsrMatrix)
