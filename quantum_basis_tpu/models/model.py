@@ -871,9 +871,40 @@ class Model:
         nrm = float(cx.norm(v))
         if nrm < 1e-12:
             return 0.0, np.zeros(0), 0.0, 0.0
-        mu, e_min, e_max = kpm_moments(dst.matvec, v, n_moments,
-                                       bounds=bounds)
+        v = cx.scale(v, 1.0 / nrm)
+        # fast path: run the Chebyshev recurrence on the projected
+        # full-space engine (the flagship momentum machinery) instead of
+        # the per-row orbit-scan repr kernel — same moments (the repr
+        # basis embeds isometrically in the full space; dual-path-tested)
+        fs = self._fullspace_repr_op(dst)
+        if fs is not None:
+            vf = self._repr_to_full(dst, v)
+            mu, e_min, e_max = kpm_moments(fs, vf, n_moments,
+                                           bounds=bounds)
+        else:
+            mu, e_min, e_max = kpm_moments(dst.matvec, v, n_moments,
+                                           bounds=bounds)
         return nrm, mu, e_min, e_max
+
+    def _repr_to_full(self, sector, c):
+        """Expand repr coefficients to the full label space:
+        |psi> = sum_r c_r |r,k> with |r,k> = P_k|r>/sqrt(nu_r), built as
+        P_k applied to the seed vector (c_r/sqrt(nu_r)) at the
+        representative labels (the inverse of ReprBasis.from_full)."""
+        import jax.numpy as jnp
+
+        rb = sector.dbasis
+        fs = self._fullspace_repr_op(sector)
+        N = fs.N
+        w = 1.0 / np.sqrt(rb.nus)
+        seed_re = np.zeros(N)
+        seed_re[rb.labels_np] = np.asarray(c[0]) * w
+        seed_im = np.zeros(N)
+        if c[1] is not None:
+            seed_im[rb.labels_np] = np.asarray(c[1]) * w
+        re, im = fs.project_host(seed_re, seed_im)
+        vf = (jnp.asarray(re), jnp.asarray(im) if im is not None else None)
+        return cx.scale(vf, 1.0 / float(cx.norm(vf)))
 
     def transform_vec_full(self, plan, sec: int, x):
         """y = U(plan) x with U|i> = sgn |plan(i)> — permutation action on a

@@ -153,3 +153,39 @@ def test_sqw_kpm_sum_rule_and_contfrac_crosscheck():
         i = int(np.searchsorted(omegas, x))
         assert abs(cum[i] - cum_exact(x)) < 0.03 * nrm**2, (x, cum[i])
         assert abs(cum_cf[i] - cum_exact(x)) < 0.05 * nrm**2, (x, cum_cf[i])
+
+
+def test_repr_kpm_fast_path_matches_repr_kernel(monkeypatch):
+    """measure_repr_dynamic_kpm through the projected full-space engine
+    (the flagship momentum machinery) must produce the same Chebyshev
+    moments as the per-row repr kernel — the repr basis embeds
+    isometrically in the full space (dual-path discipline, SURVEY §4.3)."""
+    import numpy as np
+
+    from models_zoo import SP_HALF, heisenberg_chain
+    from test_dynamics import _aq
+
+    L, q = 10, 3
+    bounds = (-8.0, 8.0)
+
+    def run(fast):
+        m, ops = heisenberg_chain(L)
+        if not fast:
+            from quantum_basis_tpu.models.model import Model
+
+            monkeypatch.setattr(Model, "_fullspace_repr_op",
+                                lambda self, sector, dtype=None: None)
+        k_gs = L // 2
+        m.enumerate_basis_repr([k_gs], [ops["Sz"]], [0.0], sec=0)
+        m.locate_E0_lanczos("repr", nev=1, sec=0)
+        m.enumerate_basis_repr([(k_gs - q) % L], [ops["Sz"]], [0.0], sec=1)
+        Aq = _aq(L, q, SP_HALF["Sz"])
+        nrm, mu, e0, e1 = m.measure_repr_dynamic_kpm(
+            Aq, 0, 1, 24, bounds=bounds)
+        monkeypatch.undo()
+        return nrm, np.asarray(mu)
+
+    nrm_fast, mu_fast = run(True)
+    nrm_slow, mu_slow = run(False)
+    assert abs(nrm_fast - nrm_slow) < 1e-8
+    np.testing.assert_allclose(mu_fast, mu_slow, atol=1e-8)
