@@ -31,10 +31,12 @@ from quantum_basis_tpu.basis.state import StateSpace
 from quantum_basis_tpu.ops.operators import Opr, OprProd, Mopr
 from quantum_basis_tpu.lattice.lattice import Lattice
 from quantum_basis_tpu.models.model import Model
+from quantum_basis_tpu.models.product import ProductModel
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "ProductModel",
     "config",
     "initialize",
     "SiteBasis",

@@ -651,6 +651,25 @@ class Model:
             out = lanczos_ground(fs, v0c, maxit=maxit, inner=120,
                                  ckpt_key=(ckpt_key + "_polish"
                                            if ckpt_key else None))
+            # diagnosis for slow sectors (r04: sector (0,1) took 1033 s vs
+            # ~300 s peers through exactly this stall->fallback path): RQI
+            # stalls when the sector gap sits at/below the f32 correction
+            # resolution; log the gap estimate from the fallback cycle's
+            # tridiagonal so the cause is on record
+            try:
+                from quantum_basis_tpu.solvers.restarted import _solver_log
+                from quantum_basis_tpu.solvers.tridiag import tridiag_eigvals
+
+                if out.get("alphas") is not None \
+                        and len(out["alphas"]) >= 2:
+                    ev = tridiag_eigvals(out["alphas"], out["betas"])[:2]
+                    _solver_log(
+                        "rqi", -1,
+                        [out["E0"]],
+                        [out["residual"],
+                         float(ev[1] - ev[0])])  # [resid, gap estimate]
+            except Exception:
+                pass
             # hard-fail on non-convergence, mirroring eigs_smallest: the
             # gate is lanczos_ground's own residual threshold (a rigorous
             # eigenvalue error bound for Hermitian H). Without this check a
