@@ -100,14 +100,20 @@ def main():
         x = (jnp.asarray(re), jnp.asarray(im))
 
         t_ell, y_ell = bench_apply(ell.apply, ell.params, x, args.reps)
-        bsr = ell_to_bsr(ell, interpret=(backend != "tpu"))
-        t_bsr, y_bsr = bench_apply(bsr.apply, bsr.params, x, args.reps)
+        # Mosaic has no f64: the compiled kernel runs f32 — the bulk-
+        # Krylov precision tier (f64 polish stays on the XLA ELL apply,
+        # the framework's standard precision split)
+        dt_bsr = np.float32 if backend == "tpu" else None
+        bsr = ell_to_bsr(ell, interpret=(backend != "tpu"), dtype=dt_bsr)
+        xb = (jnp.asarray(re, bsr.dtype), jnp.asarray(im, bsr.dtype))
+        t_bsr, y_bsr = bench_apply(bsr.apply, bsr.params, xb, args.reps)
         # chained-apply outputs diverge exponentially; agreement is checked
-        # on ONE application instead
+        # on ONE application instead (f32 kernel => f32 tolerance)
         y1 = ell((jnp.asarray(re), jnp.asarray(im)))
         y2 = bsr((jnp.asarray(re), jnp.asarray(im)))
-        dmax = max(float(jnp.max(jnp.abs(y1[0] - y2[0]))),
-                   float(jnp.max(jnp.abs(y1[1] - y2[1]))))
+        scale = float(jnp.max(jnp.abs(y1[0]))) + float(jnp.max(jnp.abs(y1[1])))
+        dmax = max(float(jnp.max(jnp.abs(y1[0] - jnp.asarray(y2[0], jnp.float64)))),
+                   float(jnp.max(jnp.abs(y1[1] - jnp.asarray(y2[1], jnp.float64))))) / max(scale, 1e-30)
         rec = {
             "workload": tag, "dim": n, "nnz": nnz_true,
             "blowup": round(st["blowup"], 1),
@@ -118,7 +124,8 @@ def main():
             "bsr_nnz_per_s": round(nnz_true / t_bsr, 1),
             "bsr_stored_vals_per_s": round(
                 (st["stored"] + n) / t_bsr, 1),
-            "agree_max_abs_diff": dmax,
+            "bsr_dtype": str(np.dtype(dt_bsr or np.float64)),
+            "agree_max_rel_diff": dmax,
             "winner": "bsr" if t_bsr < t_ell else "ell",
         }
         print(json.dumps(rec), flush=True)

@@ -163,10 +163,13 @@ def next_program_key() -> int:
 # Explicit momentum-sector/tilted solves route through the Pallas BSR SpMV
 # kernel (ops/pallas_bsr.py) when the matrix's block fill-in blowup
 # (stored / nnz, bsr_fill_stats) stays below this bound on a TPU backend.
-# Cost model: BSR streams stored*4B at HBM bandwidth while the XLA gather
-# ELL pays random-access gathers per nonzero; the kernel wins while
-# stored/nnz < (HBM bandwidth / 4B) / gather-rate (~1e2-1e3); 32 is a
-# conservative cut. prefer_bsr = True/False overrides the routing entirely
-# (tests force True with the interpreter on CPU).
-bsr_blowup_max = 32.0
+# Measured compiled on the chip (BSR_BENCH.json, v5e): the kernel streams
+# blocks at ~1.9e10 stored-vals/s while the gather ELL manages ~2.6e7
+# nnz/s at 1e3-1e4-dim sectors — the kernel won every tested workload
+# (blowups 84-374), measured break-even blowup ~690. 400 keeps margin.
+# prefer_bsr = True/False overrides the routing entirely (tests force
+# True with the interpreter on CPU). The compiled kernel is f32-only
+# (Mosaic has no f64): production routing uses it as the bulk-Krylov
+# tier with f64 ELL polish (Model._repr_bsr32).
+bsr_blowup_max = 400.0
 prefer_bsr = None

@@ -1135,12 +1135,14 @@ class Model:
         sector.evals, sector.evecs = list(evals), list(vecs)
 
     def _repr_spmv(self, sector):
-        """Explicit-sparse engine for momentum-sector solves: the Pallas
-        BSR kernel when bsr_fill_stats says the block fill-in blowup is
-        acceptable on this backend (config.bsr_blowup_max; the kernel
-        streams dense blocks at HBM bandwidth where the XLA gather ELL
-        pays random access per nonzero — module docstring of
-        ops/pallas_bsr.py), else the gather ELL. Cached per sector."""
+        """Explicit-sparse f64 engine for momentum-sector solves.
+
+        On TPU this is always the gather ELL: Mosaic has no f64, so the
+        Pallas BSR kernel lives in the f32 BULK tier instead
+        (:meth:`_repr_bsr32` — mixed-precision solves use it for the
+        Krylov bulk and polish on the f64 ELL). On CPU,
+        ``config.prefer_bsr`` can force the interpret-mode kernel (tests).
+        """
         cached = getattr(sector, "_spmv", None)
         if cached is not None:
             return cached
@@ -1149,6 +1151,35 @@ class Model:
 
         from quantum_basis_tpu import config
 
+        platform = jax.devices()[0].platform
+        mv = ell
+        if config.prefer_bsr and platform != "tpu" and ell.width > 0:
+            from quantum_basis_tpu.ops.pallas_bsr import ell_to_bsr
+
+            mv = ell_to_bsr(ell, interpret=True)
+        sector._spmv = mv
+        return mv
+
+    def _repr_bsr32(self, sector):
+        """f32 Pallas-BSR bulk engine for a momentum sector, or None.
+
+        Measured compiled on the chip (BSR_BENCH.json): the kernel streams
+        blocks at ~1.9e10 stored-vals/s while the gather ELL manages
+        ~2.6e7 nnz/s at these sector sizes — the kernel won every tested
+        workload (blowups 84-374; measured break-even blowup ~690).
+        config.bsr_blowup_max gates the routing with margin. The kernel is
+        f32-only (Mosaic has no f64), so it serves the bulk-Krylov tier;
+        the f64 residual/polish stays on the XLA ELL apply — the
+        framework's standard precision split.
+        """
+        cached = getattr(sector, "_bsr32", -1)
+        if cached != -1:
+            return cached
+        import jax
+
+        from quantum_basis_tpu import config
+
+        ell = self._repr_ell(sector)
         platform = jax.devices()[0].platform
         use = config.prefer_bsr
         if use is None:
@@ -1159,12 +1190,13 @@ class Model:
                        <= config.bsr_blowup_max)
             else:
                 use = False
-        mv = ell
-        if use:
+        mv = None
+        if use and ell.width > 0:
             from quantum_basis_tpu.ops.pallas_bsr import ell_to_bsr
 
-            mv = ell_to_bsr(ell, interpret=(platform != "tpu"))
-        sector._spmv = mv
+            mv = ell_to_bsr(ell, interpret=(platform != "tpu"),
+                            dtype=np.float32)
+        sector._bsr32 = mv
         return mv
 
     def _repr_ell(self, sector):
@@ -1560,12 +1592,42 @@ class Model:
                     key + "_krylov", v0, fs32=fs32)
                 vecs = [sector.dbasis.from_full(v) for v in vecs_full]
             else:
-                evals, vecs = eigs_smallest(
-                    self._repr_spmv(sector), sector.dim, nev=nev,
-                    ncv=ncv_,
-                    maxit=maxit, seed=seed, complex_vec=True,
-                    ckpt_key=key + "_krylov",
-                )
+                bsr32 = self._repr_bsr32(sector) if nev == 1 else None
+                if bsr32 is not None:
+                    # mixed precision on the explicit-sparse path: f32
+                    # bulk Krylov on the Pallas BSR kernel, f64 RQI/JD
+                    # polish + hard residual gate on the gather ELL
+                    from quantum_basis_tpu.solvers.rqi import rqi_polish
+
+                    ell = self._repr_ell(sector)
+                    _, v32 = eigs_smallest(
+                        bsr32, sector.dim, nev=1, ncv=ncv_, maxit=maxit,
+                        seed=seed, complex_vec=True,
+                        tol=config.mixed_precision_f32_tol,
+                        verify_degenerate=False,
+                        ckpt_key=key + "_bsr32")
+                    import jax.numpy as jnp
+
+                    v0c = (jnp.asarray(v32[0][0], jnp.float64),
+                           jnp.asarray(v32[0][1], jnp.float64))
+                    v0c = cx.scale(v0c, 1.0 / float(cx.norm(v0c)))
+                    out = rqi_polish(ell, v0c, fs32=bsr32,
+                                     ckpt_key=key + "_bsrrqi")
+                    if not out["converged"]:
+                        evals, vecs = eigs_smallest(
+                            ell, sector.dim, nev=1, ncv=ncv_,
+                            maxit=maxit, seed=seed, complex_vec=True,
+                            v0=out["vector"],
+                            ckpt_key=key + "_krylov")
+                    else:
+                        evals, vecs = [out["E0"]], [out["vector"]]
+                else:
+                    evals, vecs = eigs_smallest(
+                        self._repr_spmv(sector), sector.dim, nev=nev,
+                        ncv=ncv_,
+                        maxit=maxit, seed=seed, complex_vec=True,
+                        ckpt_key=key + "_krylov",
+                    )
             self._ckpt_stage_save(key, evals, vecs)
         self.eigenvals_repr = evals[:nev]
         self.eigenvecs_repr = vecs[:max(ncv, 1)]

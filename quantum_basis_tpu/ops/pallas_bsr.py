@@ -233,18 +233,34 @@ def _bsr_matvec(blocks, bi, bj, first, x_pad, interpret):
     n_pad = x_pad.shape[0]
     nb = blocks.shape[0]
     dt = x_pad.dtype
-    x2d = x_pad.reshape(n_pad // _B, _B)
+    # (nbj, 1, 128) view: a (1, 1, 128) tile's trailing dims EQUAL the
+    # array dims, satisfying Mosaic's (8, 128) minimum-tile rule — a flat
+    # (nbj, 128) view with (1, 128) tiles does NOT lower compiled (the
+    # sublane dim 1 is neither 8-divisible nor the full array dim;
+    # interpret mode hid this)
+    x3d = x_pad.reshape(n_pad // _B, 1, _B)
 
+    # index maps must return a CONSISTENT integer width: under
+    # jax_enable_x64 a literal 0 traces as i64 while the prefetched block
+    # coordinates are i32 — the mixed tuple fails Mosaic legalization
+    # ("failed to legalize operation 'func.func'", remote-compile 500),
+    # compiled only; interpret mode hid it
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # bi, bj, first
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, _B, _B), lambda b, bi, bj, first: (b, 0, 0),
+            pl.BlockSpec((1, _B, _B),
+                         lambda b, bi, bj, first: (b, jnp.int32(0),
+                                                   jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _B), lambda b, bi, bj, first: (bj[b], 0),
+            pl.BlockSpec((1, 1, _B),
+                         lambda b, bi, bj, first: (bj[b], jnp.int32(0),
+                                                   jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _B), lambda b, bi, bj, first: (bi[b], 0),
+        out_specs=pl.BlockSpec((1, 1, _B),
+                               lambda b, bi, bj, first: (bi[b], jnp.int32(0),
+                                                         jnp.int32(0)),
                                memory_space=pltpu.VMEM),
     )
 
@@ -255,19 +271,25 @@ def _bsr_matvec(blocks, bi, bj, first, x_pad, interpret):
         def _():
             y_ref[...] = jnp.zeros_like(y_ref)
 
-        # (128, 128) @ (128, 1): row tile dotted against the x tile;
-        # accumulate in the vector dtype (f32 on chip, f64 in CPU tests)
+        # (1, 128) @ (128, 128)^T contraction: x tile dotted against the
+        # block's columns; accumulate in the vector dtype (f32 on chip,
+        # f64 in CPU tests). y[i] += sum_j A[i, j] x[j] computed as the
+        # row-vector product x^T A^T.
         acc = jax.lax.dot_general(
-            blk_ref[0], x_ref[0].reshape(_B, 1),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            x_ref[0], blk_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=dt,
+            # true-f32 products: the MXU default is bf16 inputs (~1e-3
+            # relative — measured 6e-4 apply error before this), which
+            # would poison even the f32 bulk-Krylov tier
+            precision=jax.lax.Precision.HIGHEST,
         )
-        y_ref[...] = y_ref[...] + acc.reshape(1, _B).astype(dt)
+        y_ref[...] = y_ref[...] + acc.reshape(1, 1, _B).astype(dt)
 
-    y2d = pl.pallas_call(
+    y3d = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad // _B, _B), dt),
+        out_shape=jax.ShapeDtypeStruct((n_pad // _B, 1, _B), dt),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bi, bj, first, blocks, x2d)
-    return y2d.reshape(-1)
+    )(bi, bj, first, blocks, x3d)
+    return y3d.reshape(-1)

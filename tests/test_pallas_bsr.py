@@ -167,6 +167,9 @@ def test_bsr_routed_golden_momentum_sector(monkeypatch):
     m.enumerate_basis_repr([0], [ops["Sz"]], [0.0])
     m.locate_E0_lanczos(which="repr")
     assert abs(m.eigenvals_repr[0] - (-7.142296361)) < 1e-8
+    # the production route: f32 BSR bulk + f64 ELL RQI polish
     from quantum_basis_tpu.ops.pallas_bsr import BsrMatrix
 
-    assert isinstance(m.sec_repr[0]._spmv, BsrMatrix)
+    bsr32 = m.sec_repr[0]._bsr32
+    assert isinstance(bsr32, BsrMatrix)
+    assert bsr32.dtype == __import__("numpy").float32
