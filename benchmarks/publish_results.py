@@ -33,6 +33,8 @@ def main():
                         else _load("FLAGSHIP_kagome24.json.partial"))
     hubbard = _load("HUBBARD4x4.json")
     sqw = _load("SQW_triangular31_tJ.json")
+    sqw24 = _load("SQW_kagome24.json")
+    bsr = _load("BSR_BENCH.json")
     scaling = _load("SCALING_cpu8.json")
     benches = []
     for p in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
@@ -59,15 +61,41 @@ def main():
             for k in ("status", "dim_full", "E0_full_best", "residual_norm",
                       "eigenvalue_error_estimate_quadratic", "e0_per_site",
                       "backend") if k in flagship_partial}
-    if hubbard:
+    if hubbard and hubbard.get("status") == "converged":
         published["fermi_hubbard_4x4"] = {
-            "label_space": hubbard["label_space"],
+            "status": "converged",
             "dim": hubbard["dim"],
-            "index_mode": hubbard["index_mode"],
-            "lanczos_iters_per_s": hubbard["lanczos"]["iters_per_s"],
-            "E0_ritz_bound": hubbard["lanczos"]["E0_ritz"],
-            "devices": hubbard["devices"],
+            "E0": hubbard["E0"],
+            "residual_f64": hubbard["residual_f64"],
+            "residual_gate": hubbard["residual_gate"],
+            "gate_passed": hubbard["gate_passed"],
+            "formulation": hubbard["formulation"],
+            "f32_apply_ms": hubbard["f32_apply_ms"],
+            "golden_4x2_ok": hubbard["golden_4x2"]["ok"],
             "backend": hubbard["backend"],
+            "timings_s": hubbard["timings_s"],
+        }
+    elif hubbard:
+        published["fermi_hubbard_4x4"] = {
+            "status": "pipeline-demo",
+            "dim": hubbard["dim"],
+            "E0_ritz_bound": hubbard["lanczos"]["E0_ritz"],
+            "backend": hubbard["backend"],
+        }
+    if sqw24:
+        published["kagome24_sqw_kpm"] = {
+            k: sqw24[k] for k in ("workload", "n_sites", "dim_k0", "k0",
+                                  "E0", "n_moments", "engine", "backend",
+                                  "sum_rule") if k in sqw24}
+    if bsr:
+        published["pallas_bsr_bench"] = {
+            "backend": bsr["backend"],
+            "cases": [{k: c[k] for k in ("workload", "dim", "blowup",
+                                         "ell_us_per_apply",
+                                         "bsr_us_per_apply", "winner")}
+                      for c in bsr["cases"]],
+            "calibration": bsr.get("calibration"),
+            "golden_sector_on_chip": bsr.get("golden_sector_on_chip"),
         }
     if sqw:
         published["triangular31_tJ_sqw_kpm"] = {
@@ -120,7 +148,12 @@ def main():
             "(the GS momentum is a result, not an assumption — see "
             "gs_momentum)",
             f"- wall: enumerate {t['enumerate_full']}s, full solve "
-            f"{t['solve_full']}s, total {t['total']}s", "",
+            f"{t['solve_full']}s, total {t['total']}s",
+            "- timing caveat: walls are from the FINAL watchdog attempt, "
+            "which warm-resumed from checkpoints — a near-zero solve "
+            "wall is the checkpoint-load time of an already-converged "
+            "stage; per-sector solve_s values share the caveat. "
+            "Cumulative wall across attempts is larger.", "",
         ]
     if flagship_partial:
         fp = flagship_partial
@@ -135,23 +168,33 @@ def main():
             f"{fp['eigenvalue_error_estimate_quadratic']:.1e}",
             f"- status: {fp['status']}", "",
         ]
-    if hubbard:
-        lz = hubbard["lanczos"]
+    if hubbard and hubbard.get("status") == "converged":
+        t = hubbard["timings_s"]
+        g = hubbard["golden_4x2"]
         lines += [
-            "## Fermi-Hubbard 4x4 half filling (config #3)", "",
-            f"- label space 4^16 = {hubbard['label_space']:,}; "
-            f"sector dim **{hubbard['dim']:,}** (= C(16,8)^2), enumerated "
-            "combinatorially in "
-            f"{hubbard['timings_s']['enumerate']}s",
-            f"- generalized Lin-table index over the 8+8 sublattice split "
-            f"({hubbard['index_mode']}) built in "
-            f"{hubbard['timings_s']['lin_table']}s",
-            f"- sharded matrix-free Lanczos over {hubbard['devices']} "
-            f"devices ({hubbard['backend']}): "
-            f"{lz['matvecs']} matvecs at {lz['iters_per_s']} iter/s; "
-            f"Ritz bound E0 <= {lz['E0_ritz']:.6f} "
-            f"(residual {lz['residual_bound']:.2e} — demonstration-depth "
-            "run; the artifact records how far E0 got)", "",
+            "## Fermi-Hubbard 4x4 half filling CONVERGED (config #3)", "",
+            f"- sector dim **{hubbard['dim']:,}** (= C(16,8)^2), "
+            f"**E0 = {hubbard['E0']:.12f}** on a single "
+            f"{hubbard['backend']} chip",
+            f"- exact f64 residual ||Hx - E0 x|| = "
+            f"**{hubbard['residual_f64']:.3e}** < gate "
+            f"{hubbard['residual_gate']:.3e} — "
+            f"gate {'PASSED' if hubbard['gate_passed'] else 'FAILED'}",
+            f"- formulation: {hubbard['formulation']} — the 1.66e8-dim "
+            "state vector is a (12870, 12870) matrix; one H apply = two "
+            "dense 12870^3 MXU matmuls + an elementwise coupling pass "
+            f"({hubbard['f32_apply_ms']} ms f32 = "
+            f"{hubbard['stored_nnz_per_s']:.3g} stored-nnz/s)",
+            f"- wall (fresh, incl. compiles): f32 bulk "
+            f"{t.get('f32_stage_s', '?')}s + f64 RQI polish "
+            f"{t.get('polish_s', '?')}s = solve {t['solve']}s "
+            f"(total {t['total']}s); factor build {t['factor_build']}s "
+            "(the r04 row-gather formulation needed 869 s of setup and "
+            "managed 0.012 iter/s)",
+            f"- 4x2 golden cross-check through the same ProductModel "
+            f"path: E0 = {g['E0']:.9f} vs ref {g['ref']} "
+            f"[{'OK' if g['ok'] else 'FAIL'}], fresh on chip "
+            f"{g['wall_s']}s", "",
         ]
     if benches:
         lines += ["## Chip SpMV bench (bench.py, L=24 chain Sz=0)", ""]
@@ -160,6 +203,50 @@ def main():
             lines.append(f"- {name}: **{b['parsed']['value']:.3g} nnz/s** "
                          f"({d['engine']}, {d['ms_per_apply']} ms/apply, "
                          f"setup {d['setup_s']}s, {d['backend']})")
+        lines.append("")
+    if sqw24:
+        sr = sqw24.get("sum_rule", {})
+        lines += [
+            "## Momentum-resolved S(q,w), kagome-24 (flagship dynamics)",
+            "",
+            f"- artifact: SQW_kagome24.json / .png — all "
+            f"{len(sqw24.get('runs', []))} q on the 2x4 BZ grid, "
+            f"{sqw24.get('n_moments')} Chebyshev moments each, GS sector "
+            f"k0={tuple(sqw24.get('k0', ()))} (dim "
+            f"{sqw24.get('dim_k0', 0):,}) on {sqw24.get('backend')}",
+            f"- engine: {sqw24.get('engine')} — A_q|gs> lands in sector "
+            "k0-q; moments recorded on the projected full-space engine "
+            "(dual-path-tested vs the per-row repr kernel)",
+            f"- sum rule: sum_q integral S(q,w) dw = "
+            f"{sr.get('integral', 0):.6f} vs sum_q ||A_q|gs>||^2 = "
+            f"{sr.get('norms2', 0):.6f}", "",
+        ]
+    if bsr:
+        lines += [
+            "## Pallas BSR SpMV compiled on chip (BSR_BENCH.json)", "",
+        ]
+        for c in bsr["cases"]:
+            lines.append(
+                f"- {c['workload']} (dim {c['dim']:,}, blowup "
+                f"{c['blowup']}): BSR {c['bsr_us_per_apply']}us vs ELL "
+                f"{c['ell_us_per_apply']}us per apply -> "
+                f"**{c['winner']}** (agree "
+                f"{c['agree_max_rel_diff']:.1e})")
+        cal = bsr.get("calibration") or {}
+        if cal:
+            lines.append(
+                f"- calibration: BSR streams "
+                f"{cal['bsr_stream_vals_per_s']:.3g} stored-vals/s vs "
+                f"gather ELL {cal['ell_gather_nnz_per_s']:.3g} nnz/s -> "
+                f"measured break-even blowup "
+                f"{cal['breakeven_blowup']} (routing threshold "
+                "config.bsr_blowup_max = 400)")
+        gs = bsr.get("golden_sector_on_chip")
+        if gs:
+            lines.append(
+                f"- golden sector on chip via the mixed BSR route "
+                f"({gs['route']}): {gs['workload']} E0 = {gs['E0']:.9f} "
+                f"vs golden {gs['golden']} in {gs['wall_s']}s")
         lines.append("")
     if sqw:
         lines += [
@@ -186,6 +273,28 @@ def main():
                           "traffic vs all-gather "
                           f"{r['detail']['halo_traffic_ratio_vs_allgather']})"]
         lines += ["", f"caveat: {scaling['caveat']}", ""]
+        sm = scaling.get("scaling_model")
+        if sm:
+            lines += [
+                "### Communication roofline (model behind the multi-host "
+                "claim)", "",
+                "Real >=2-chip hardware is unavailable, so the artifact "
+                "carries a `scaling_model` section "
+                "(benchmarks/comm_roofline.py): per engine, analytic "
+                "bytes-per-apply under its sharding strategy against "
+                "nominal ICI (9e10 B/s/device) / DCN (50 Gbps/host) "
+                "bandwidths, combined with measured single-chip apply "
+                "times. Predicted no-overlap efficiencies:", "",
+            ]
+            for e in sm["engines"]:
+                lines.append(
+                    f"- {e['engine']} @{e['devices']} ({e['network']}): "
+                    f"eff {e['efficiency_no_overlap']} "
+                    f"(overlapped {e['efficiency_overlapped']})")
+            lines += ["", "The contract-window engine's two full-vector "
+                      "frame transposes are DCN-bound across hosts — "
+                      "which is why the factorized product engine and the "
+                      "halo ELL engine carry the multi-host story.", ""]
 
     with open(os.path.join(ROOT, "RESULTS.md"), "w") as f:
         f.write("\n".join(lines))
