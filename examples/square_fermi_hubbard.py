@@ -53,6 +53,40 @@ C1 = np.array([[0.0, 1.0], [0.0, 0.0]])  # spinless annihilation
 N1 = np.array([0.0, 1.0])                # spinless occupation (diagonal)
 
 
+def build_factorized_sector(Lx, Ly, Nup, Ndn, t=1.0, U=1.1):
+    """Factorized Hubbard in an arbitrary (N_up, N_dn) sector: two factor
+    Models over the same spinless space with independent particle numbers
+    (spin/charge-gap sectors of BASELINE config #3)."""
+    from quantum_basis_tpu.models.product import ProductModel
+    from quantum_basis_tpu.ops.operators import OprProd
+
+    def factor(Nf):
+        lat = Lattice("square", [Lx, Ly], ["pbc", "pbc"])
+        ms = Model(lat)
+        ms.add_orbital(lat.n_sites, "spinless-fermion")
+        Nop = Mopr()
+        for x in range(Lx):
+            for y in range(Ly):
+                i = lat.coor2site([x, y], 0)
+                ci = Opr(i, 0, True, C1)
+                for dx, dy in ((1, 0), (0, 1)):
+                    j = lat.coor2site([x + dx, y + dy], 0)
+                    cj = Opr(j, 0, True, C1)
+                    ms.add_Ham((-t) * (ci.dagger() * cj))
+                    ms.add_Ham((-t) * (cj.dagger() * ci))
+                Nop += ci.dagger() * ci
+        ms.enumerate_basis_full([Nop], [float(Nf)])
+        return ms, lat
+
+    mu, lat = factor(Nup)
+    md, _ = factor(Ndn)
+    pairs = []
+    for s in range(lat.n_sites):
+        n_s = Mopr([OprProd(1.0, [Opr(s, 0, False, N1)])])
+        pairs.append((n_s, n_s))
+    return ProductModel(mu, md, coupling=pairs, coupling_scale=U)
+
+
 def build_factorized(Lx, Ly, t=1.0, U=1.1, Nf=None):
     """Species-factorized Hubbard (the TPU-first formulation).
 

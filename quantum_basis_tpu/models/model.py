@@ -897,9 +897,26 @@ class Model:
         # basis embeds isometrically in the full space; dual-path-tested)
         fs = self._fullspace_repr_op(dst)
         if fs is not None:
+            import jax
+            import jax.numpy as jnp
+
+            if jax.devices()[0].platform == "tpu":
+                # the f64-complex projected recurrence program needs
+                # ~17 GB HBM at N = 2^24 (measured compile OOM); run the
+                # Chebyshev recurrence on the f32 template instead — the
+                # rescaled recurrence is contractive (|Ts| <= 1), so f32
+                # moment noise (~1e-6) sits far below the Jackson kernel
+                # resolution pi*(e_max-e_min)/n_moments (~1e-2)
+                fs32 = self._fullspace_repr_op(dst, dtype=jnp.float32)
+                if fs32 is not None:
+                    fs = fs32
             vf = self._repr_to_full(dst, v)
+            dt = getattr(fs, "dtype", jnp.float64)
+            vf = (vf[0].astype(dt),
+                  vf[1].astype(dt) if vf[1] is not None else None)
             mu, e_min, e_max = kpm_moments(fs, vf, n_moments,
                                            bounds=bounds)
+            mu = np.asarray(mu, dtype=np.float64)
         else:
             mu, e_min, e_max = kpm_moments(dst.matvec, v, n_moments,
                                            bounds=bounds)

@@ -122,3 +122,21 @@ def test_measure_product_static_double_occupancy():
     occ = ms.space.decode(sa.dbasis.labels_np)[:, 0].astype(float)
     direct = float(np.einsum("rc,r,c->", psi**2, occ, occ))
     assert abs(docc - direct) < 1e-9
+
+
+def test_factorized_asymmetric_sector_matches_generic():
+    """(N_up, N_dn) = (3, 2) on 4x2: the asymmetric-sector ProductModel
+    (spin/charge-gap sectors of config #3) matches the generic site-major
+    'electron' engine's ground state."""
+    from square_fermi_hubbard import build, build_factorized_sector
+
+    pm = build_factorized_sector(4, 2, 3, 2)
+    assert pm.dim == 56 * 28
+    E0_fac = pm.locate_E0_lanczos(mixed=False, ncv=16)
+
+    m, lat, Nup, Ndn = build(4, 2)
+    dim = m.enumerate_basis_full([Nup, Ndn], [3.0, 2.0])
+    assert dim == pm.dim
+    m.locate_E0_lanczos(nev=1, ncv=1)
+    assert abs(E0_fac - m.eigenvals_full[0]) < 1e-8, \
+        (E0_fac, m.eigenvals_full[0])
