@@ -173,3 +173,11 @@ def next_program_key() -> int:
 # tier with f64 ELL polish (Model._repr_bsr32).
 bsr_blowup_max = 400.0
 prefer_bsr = None
+
+
+# KPM dynamics on momentum sectors: above this full label-space size the
+# Chebyshev recurrence runs on the sector-dim repr row kernel instead of
+# the projected full-space engine — the fused full-space recurrence
+# program exceeds a 16 GB chip at N = 2^24 complex (measured: f64 compile
+# OOM at 17 GB; f32 compiled but crashed the TPU worker at run).
+kpm_fullspace_max_N = 1 << 23

@@ -895,18 +895,27 @@ class Model:
         # full-space engine (the flagship momentum machinery) instead of
         # the per-row orbit-scan repr kernel — same moments (the repr
         # basis embeds isometrically in the full space; dual-path-tested)
+        from quantum_basis_tpu import config as _cfg
+
         fs = self._fullspace_repr_op(dst)
+        if fs is not None and fs.N > _cfg.kpm_fullspace_max_N:
+            # the fused Chebyshev-recurrence program over the projected
+            # full-space engine is out of HBM budget at this label-space
+            # size on a 16 GB chip (measured at N = 2^24 complex: the f64
+            # program needs 17 GB at compile; the f32 one compiled but
+            # crashed the TPU worker at run). The sector-dim repr row
+            # kernel below carries the moments instead — vectors are
+            # sector-sized (~MBs), and the projected engine still carries
+            # the sector SOLVES.
+            fs = None
         if fs is not None:
             import jax
             import jax.numpy as jnp
 
             if jax.devices()[0].platform == "tpu":
-                # the f64-complex projected recurrence program needs
-                # ~17 GB HBM at N = 2^24 (measured compile OOM); run the
-                # Chebyshev recurrence on the f32 template instead — the
-                # rescaled recurrence is contractive (|Ts| <= 1), so f32
-                # moment noise (~1e-6) sits far below the Jackson kernel
-                # resolution pi*(e_max-e_min)/n_moments (~1e-2)
+                # f32 template: the rescaled recurrence is contractive
+                # (|Ts| <= 1), so f32 moment noise (~1e-6) sits far below
+                # the Jackson kernel resolution pi*(e_max-e_min)/n (~1e-2)
                 fs32 = self._fullspace_repr_op(dst, dtype=jnp.float32)
                 if fs32 is not None:
                     fs = fs32
