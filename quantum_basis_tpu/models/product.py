@@ -32,9 +32,10 @@ class ProductModel:
 
     def __init__(self, model_a, model_b=None, coupling=(),
                  coupling_scale: float = 1.0, sec: int = 0,
-                 hermiticity="exact"):
+                 hermiticity="exact", mesh=None):
         self.model_a = model_a
         self.model_b = model_b  # None => same factor twice (Hubbard)
+        self.mesh = mesh  # 1-D jax.sharding.Mesh: solves route to KronSharded
         self.coupling = list(coupling)
         self.coupling_scale = float(coupling_scale)
         self._sec = sec
@@ -80,18 +81,39 @@ class ProductModel:
         return self._P
 
     def op(self, dtype=None, layout=None) -> KronOp:
-        """The device engine at a given precision (cached per dtype)."""
+        """The device engine at a given precision (cached per dtype).
+
+        With a ``mesh`` attached this is the row-sharded
+        :class:`~quantum_basis_tpu.parallel.kron_sharded.KronSharded`
+        (same protocol; ``N``/``mask`` reflect the mesh-padded space)."""
         import jax.numpy as jnp
 
         dtype = jnp.dtype(dtype or jnp.float64)
-        key = (str(dtype), layout)
+        ndev = (int(np.prod(list(self.mesh.shape.values())))
+                if self.mesh is not None else 0)
+        key = (str(dtype), layout, ndev)
         if key not in self._ops:
             ell_a, ell_b = self._factor_ells()
-            self._ops[key] = KronOp(
-                ell_a, ell_b, coupling=self._coupling_matrix(),
-                coupling_scale=self.coupling_scale, dtype=dtype,
-                layout=layout)
+            if self.mesh is not None:
+                from quantum_basis_tpu.parallel.kron_sharded import (
+                    KronSharded)
+
+                self._ops[key] = KronSharded(
+                    ell_a, ell_b, coupling=self._coupling_matrix(),
+                    coupling_scale=self.coupling_scale, mesh=self.mesh,
+                    dtype=dtype, layout=layout)
+            else:
+                self._ops[key] = KronOp(
+                    ell_a, ell_b, coupling=self._coupling_matrix(),
+                    coupling_scale=self.coupling_scale, dtype=dtype,
+                    layout=layout)
         return self._ops[key]
+
+    def set_mesh(self, mesh):
+        """Attach/replace the device mesh; sharded engines rebuild on the
+        next solve (mirrors Model.set_mesh)."""
+        self.mesh = mesh
+        self._ops = {k: v for k, v in self._ops.items() if k[2] == 0}
 
     def _fingerprint(self) -> int:
         import zlib
@@ -126,6 +148,9 @@ class ProductModel:
                                                          eigs_smallest)
 
         key = f"prodE0_dim{self.dim}_nev{nev}_h{self._fingerprint():08x}"
+        if self.mesh is not None:
+            ndev = int(np.prod(list(self.mesh.shape.values())))
+            key += f"_mesh{ndev}"
         done = self._stage_load(key)
         if done is not None:
             self.eigenvals, self.eigenvecs, self._last_residual = done
@@ -133,11 +158,13 @@ class ProductModel:
         if mixed is None:
             mixed = config.mixed_precision or self.dim > (1 << 22)
         if not mixed:
+            fs = self.op(jnp.float64)
             evals, vecs = eigs_smallest(
-                self.op(jnp.float64), self.dim, nev=nev,
+                fs, fs.N, nev=nev,
                 ncv=max(ncv, 2 * nev + 4), maxit=maxit, seed=seed,
-                complex_vec=False, ckpt_key=key + "_krylov")
-            self._publish(key, evals, vecs)
+                complex_vec=False, mask=fs.mask,
+                ckpt_key=key + "_krylov")
+            self._publish(key, evals, [self._unpad(fs, v) for v in vecs])
             return self.eigenvals[0]
 
         # stage 1: f32 bulk on the dense MXU engine
@@ -164,7 +191,10 @@ class ProductModel:
             from quantum_basis_tpu.utils.rng import vec_randomize
 
             re, _ = vec_randomize(self.dim, seed=seed)
-            v32 = (jnp.asarray(re, jnp.float32), None)
+            if hasattr(fs32, "pad"):  # mesh route: logical -> padded sharded
+                v32 = fs32.pad((re.astype(np.float32), None))
+            else:
+                v32 = (jnp.asarray(re, jnp.float32), None)
             out32 = _lg(fs32, v32, maxit=maxit, inner=48, tol=1e-8,
                         ckpt_key=key + "_f32roll")
             v0 = out32["vector"]
@@ -205,10 +235,20 @@ class ProductModel:
             err.E0 = out["E0"]
             err.residual = out["residual"]
             raise err
-        self._publish(key, [out["E0"]], [out["vector"]],
+        self._publish(key, [out["E0"]], [self._unpad(fs64, out["vector"])],
                       resid=out["residual"])
         self._last_residual = out["residual"]
         return self.eigenvals[0]
+
+    @staticmethod
+    def _unpad(fs, v):
+        """Strip mesh padding from a solver vector (no-op off-mesh)."""
+        if not hasattr(fs, "unpad"):
+            return v
+        import jax.numpy as jnp
+
+        re, im = fs.unpad(v)
+        return (jnp.asarray(re), None if im is None else jnp.asarray(im))
 
     def _publish(self, key, evals, vecs, resid=None):
         self.eigenvals = [float(e) for e in evals]

@@ -79,6 +79,22 @@ def main():
         re0, _ = vec_randomize(labels.size, seed=1)
         re = np.zeros(n)
         re[: labels.size] = re0
+    elif engine == "kron":
+        # the flagship Hubbard engine (dense MXU matmuls), row-sharded:
+        # GSPMD partitions the A@psi contraction across the two processes
+        sys.path.insert(0, os.path.join(_ROOT, "examples"))
+        from square_fermi_hubbard import build_factorized
+
+        pm, _ = build_factorized(4, 2)
+        pm.set_mesh(mesh)
+        import jax.numpy as jnp_
+
+        mv = pm.op(jnp_.float64)
+        n = mv.N
+        re0, _ = vec_randomize(pm.dim, seed=1)
+        rep_ = np.zeros((mv.na, mv.nb))  # host-side zero-row padding
+        rep_[: mv.na_logical] = re0.reshape(mv.na_logical, mv.nb)
+        re = rep_.reshape(-1)
     else:
         raise SystemExit(f"unknown engine {engine}")
 

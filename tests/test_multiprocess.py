@@ -78,7 +78,17 @@ def _run_group(engine: str, L: int = 16, nproc: int = 2, timeout=420):
     return results
 
 
-@pytest.mark.parametrize("engine", ["fullspace", "halo"])
+_GOLDEN = {
+    # chain engines: L=16 Heisenberg golden (src/main_test.cc:88)
+    "fullspace": _E0_GOLDEN,
+    "halo": _E0_GOLDEN,
+    # flagship kron engine: Hubbard 4x2 golden
+    # (examples/trans_absent/latt_square/square_Fermi_Hubbard.cc:113)
+    "kron": -14.07605866,
+}
+
+
+@pytest.mark.parametrize("engine", ["fullspace", "halo", "kron"])
 def test_two_process_group_golden_E0(engine):
     results = _run_group(engine)
     assert len(results) == 2
@@ -86,7 +96,7 @@ def test_two_process_group_golden_E0(engine):
         assert r["multi"] is True
         assert r["process_count"] == 2
         assert r["ndev"] == 8
-        assert abs(r["E0"] - _E0_GOLDEN) < 5e-9, r
+        assert abs(r["E0"] - _GOLDEN[engine]) < 5e-9, r
     # replicated scalars must agree bit-for-bit across the two controllers
     assert results[0]["a0"] == results[1]["a0"]
     assert results[0]["b0"] == results[1]["b0"]
