@@ -166,12 +166,16 @@ def main():
 
         kparams = fs32.params
 
-        def kstep(v):
-            y = fs32.apply(kparams, (v, None))[0]
-            return y / jnp.linalg.norm(y)
-
+        # params MUST be jit ARGUMENTS, not closure captures: closed-over
+        # arrays are baked into the HLO as literals, and the two 12870^2
+        # hop matrices (~1.3 GB serialized) blow past the tunneled remote
+        # compiler's request-size limit (observed HTTP 413)
         @jax.jit
-        def kchain(v, k):
+        def kchain(p, v, k):
+            def kstep(u):
+                y = fs32.apply(p, (u, None))[0]
+                return y / jnp.linalg.norm(y)
+
             v = jax.lax.fori_loop(0, k, lambda i, u: kstep(u), v)
             return jnp.vdot(v, v)
 
@@ -183,14 +187,14 @@ def main():
 
         xk = kstart()
         kw_i, ki_i = 1, 11
-        float(kchain(xk, jnp.int32(kw_i)))
-        float(kchain(xk, jnp.int32(ki_i)))
+        float(kchain(kparams, xk, jnp.int32(kw_i)))
+        float(kchain(kparams, xk, jnp.int32(ki_i)))
         kt_setup = time.time() - t0
         t1 = time.time()
-        float(kchain(xk, jnp.int32(kw_i)))
+        float(kchain(kparams, xk, jnp.int32(kw_i)))
         tw = time.time() - t1
         t1 = time.time()
-        float(kchain(xk, jnp.int32(ki_i)))
+        float(kchain(kparams, xk, jnp.int32(ki_i)))
         tf = time.time() - t1
         kdt = (tf - tw) / (ki_i - kw_i)
         kron_rate = fs32.nnz_estimate / kdt
