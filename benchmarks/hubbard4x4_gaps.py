@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--maxit", type=int, default=4000)
     ap.add_argument("--ncv", type=int, default=6)
     ap.add_argument("--out", default="HUBBARD4x4_GAPS.json")
+    ap.add_argument("--reuse-e88", action="store_true",
+                    help="take the converged, residual-gated E0(8,8) from "
+                         "HUBBARD4x4.json instead of re-solving it "
+                         "(recorded as source='HUBBARD4x4.json' in the "
+                         "artifact)")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -52,7 +57,20 @@ def main():
 
     sectors = {}
     t_all = time.time()
-    for (nu, nd) in ((8, 8), (9, 7), (9, 8), (8, 7)):
+    todo = [(8, 8), (9, 7), (9, 8), (8, 7)]
+    if args.reuse_e88:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "HUBBARD4x4.json")) as f:
+            h44 = json.load(f)
+        assert h44["status"] == "converged" and h44["gate_passed"]
+        sectors["8,8"] = {
+            "Nup": 8, "Ndn": 8, "dim": h44["dim"], "E0": h44["E0"],
+            "residual_f64": h44["residual_f64"],
+            "source": "HUBBARD4x4.json"}
+        print(f"E0(8,8) = {h44['E0']:.12f}  [reused HUBBARD4x4.json, "
+              f"residual {h44['residual_f64']:.2e}]", flush=True)
+        todo = todo[1:]
+    for (nu, nd) in todo:
         t0 = time.time()
         pm = build_factorized_sector(4, 4, nu, nd)
         E0 = pm.locate_E0_lanczos(maxit=args.maxit, ncv=args.ncv,
