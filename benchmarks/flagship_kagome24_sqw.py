@@ -106,7 +106,9 @@ def main():
         for qy in range(Ly):
             t0 = time.time()
             kt = [(k0[0] - qx) % Lx, (k0[1] - qy) % Ly]
-            ck = (f"sqw24_q{qx}_{qy}_m{args.n_moments}"
+            # key carries k0 too: moments are defined relative to the GS
+            # sector, so a rerun with a different --k0 must not reuse them
+            ck = (f"sqw24_k{k0[0]}_{k0[1]}_q{qx}_{qy}_m{args.n_moments}"
                   f"_h{m._ham_fingerprint():08x}")
             rec = store.load(ck) if store is not None else None
             if rec is not None:

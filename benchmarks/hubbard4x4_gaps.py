@@ -80,8 +80,11 @@ def main():
         sectors[f"{nu},{nd}"] = {
             "Nup": nu, "Ndn": nd, "dim": pm.dim, "E0": E0,
             "residual_f64": resid, "wall_s": round(wall, 1)}
+        # resid is None when a stage record predating residual capture is
+        # resumed — report, don't crash a multi-hour sweep
+        rtxt = f"{resid:.2e}" if resid is not None else "n/a (resumed)"
         print(f"E0({nu},{nd}) = {E0:.12f}  dim {pm.dim:,}  "
-              f"resid {resid:.2e}  [{wall:.1f}s]", flush=True)
+              f"resid {rtxt}  [{wall:.1f}s]", flush=True)
         with open(args.out + ".partial", "w") as f:
             json.dump(sectors, f, indent=1)
 

@@ -10,8 +10,14 @@
 #   ARTIFACT=HUBBARD4x4.json LOG=/tmp/h44.log \
 #     bash benchmarks/run_watchdog.sh [max_attempts] -- <command...>
 set -u
-MAX_ATTEMPTS=${1:-8}
-shift || true
+# [max_attempts] is optional: if the first arg is the "--" separator the
+# caller omitted it ("run_watchdog.sh -- cmd..."), default to 8
+if [ "${1:-}" = "--" ]; then
+  MAX_ATTEMPTS=8
+else
+  MAX_ATTEMPTS=${1:-8}
+  shift || true
+fi
 [ "${1:-}" = "--" ] && shift
 STALL_S=${STALL_S:-2700}
 LOG=${LOG:-/tmp/watchdog_run.log}

@@ -51,7 +51,8 @@ def _per_slot_tables(mopr, space):
 
 def enumerate_basis_dnc(space: StateSpace, conserve_lst, val_lst,
                         leaf: int = 1 << 22, tol: float = _QN_TOL,
-                        tile_select=None, sort: bool = True):
+                        tile_select=None, sort: bool = True,
+                        n_parts: int | None = None):
     """Combinatorial sector enumeration by divide-and-conquer over slots.
 
     The chunked scan (below) is O(d^N) regardless of sector size — hopeless
@@ -143,6 +144,27 @@ def enumerate_basis_dnc(space: StateSpace, conserve_lst, val_lst,
         return out
 
     top_size = int(np.prod(dims, dtype=np.int64))
+    if n_parts is not None:
+        # ONE pass producing every rank's round-robin tile subset: the
+        # meet-in-the-middle halves (rec) are computed once and shared,
+        # instead of once per rank as a tile_select loop would pay.
+        # Equivalent to [enumerate_basis_dnc(..., tile_select=(r, n_parts),
+        # sort=False) for r in range(n_parts)].
+        mid = S // 2
+        left = rec(0, mid)
+        right = rec(mid, S)
+        parts = [[] for _ in range(n_parts)]
+        i = 0
+        for kl in sorted(left):
+            ll, ql = left[kl]
+            for kr in sorted(right):
+                lr, qr = right[kr]
+                if np.all(np.abs(ql + qr - targets) < tol):
+                    parts[i % n_parts].append(
+                        (ll[:, None] + lr[None, :]).ravel())
+                    i += 1
+        return [np.concatenate(p) if p else np.empty(0, np.int64)
+                for p in parts]
     keep = []
     if tile_select is None and (top_size <= leaf or S < 2):
         top = rec(0, S)

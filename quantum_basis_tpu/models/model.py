@@ -19,6 +19,8 @@ driven from here.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 
 from quantum_basis_tpu.basis.enumerate import enumerate_basis
@@ -50,7 +52,13 @@ def _f64_prefers_rolls() -> bool:
 class Sector:
     """One quantum-number (and optionally momentum) sector: basis + matvec."""
 
+    _serial_counter = itertools.count()
+
     def __init__(self):
+        # monotonic identity: re-enumerating a sector slot creates a new
+        # Sector with a new serial, so caches keyed on it can never hand
+        # back device state built against a previous basis
+        self.serial = next(Sector._serial_counter)
         self.labels: np.ndarray | None = None
         self.dbasis: DeviceBasis | None = None
         self.matvec = None
@@ -897,7 +905,11 @@ class Model:
         # basis embeds isometrically in the full space; dual-path-tested)
         from quantum_basis_tpu import config as _cfg
 
-        fs = self._fullspace_repr_op(dst)
+        # size-gate BEFORE building: fs.N is the label-space size, known
+        # without constructing the template (which costs projector params,
+        # QN masks and an f64 twin — pure waste on the fallback path)
+        fs = (None if self.space.label_space > _cfg.kpm_fullspace_max_N
+              else self._fullspace_repr_op(dst))
         if fs is not None and fs.N > _cfg.kpm_fullspace_max_N:
             # the fused Chebyshev-recurrence program over the projected
             # full-space engine is out of HBM budget at this label-space
@@ -1314,7 +1326,11 @@ class Model:
             # cache the device-resident MatvecRepr per (sector, operator):
             # a correlator sweep re-measures the same O at many distances —
             # rebuilding the matvec re-paid table upload + jit every call
-            ck = (sec, tuple(np.atleast_1d(sector.momentum).tolist()),
+            # sector.serial pins the key to THIS enumeration: same (sec,
+            # momentum, dim) after a re-enumeration with different quantum
+            # numbers must not reuse a matvec bound to the stale dbasis
+            ck = (sector.serial, sec,
+                  tuple(np.atleast_1d(sector.momentum).tolist()),
                   sector.dim, operator_fingerprint(comp))
             mv = cache.get(ck)
             if mv is None:

@@ -125,7 +125,11 @@ class ProductModel:
         P = self._coupling_matrix()
         if P is not None:
             fp = zlib.crc32(np.float64(self.coupling_scale).tobytes(), fp)
-            fp = zlib.crc32(np.ascontiguousarray(P).tobytes()[:1 << 20], fp)
+            # hash ALL of P (zero-copy via the buffer protocol, ~1 GB/s):
+            # a prefix hash would alias couplings differing only on
+            # higher-index factor states and stage-load the wrong model
+            buf = memoryview(np.ascontiguousarray(P)).cast("B")
+            fp = zlib.crc32(buf, fp)
         return fp & 0xFFFFFFFF
 
     # ------------------------------------------------------------- solve

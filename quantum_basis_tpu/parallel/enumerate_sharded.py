@@ -24,14 +24,23 @@ from quantum_basis_tpu.parallel.sample_sort import _PAD, sample_sort_sharded
 
 
 def _merge_shards(parts, mesh, axis: str):
-    """Globally sort per-rank label lists via the distributed sample sort."""
+    """Globally sort per-rank label lists via the distributed sample sort.
+
+    Rows are REBALANCED to equal size before the device sort: padding each
+    rank's row to the largest part would send every _PAD sentinel to the
+    last sample-sort bucket, overflowing it on skewed tile assignments
+    (one dominant quantum-number bucket pair can give one rank most
+    labels). Equal rows bound the pad count at 128*P total.
+    """
     P = int(mesh.shape[axis])
     assert len(parts) == P
-    n_local = max((p.size for p in parts), default=0)
-    n_local = max(-(-n_local // 128) * 128, 128)
+    allx = np.concatenate([p for p in parts if p.size]) \
+        if any(p.size for p in parts) else np.empty(0, np.int64)
+    n_local = max(-(-allx.size // P // 128) * 128, 128)
     xs = np.full((P, n_local), _PAD, dtype=np.int64)
-    for r, p in enumerate(parts):
-        xs[r, : p.size] = p
+    for r in range(P):
+        row = allx[r * n_local: (r + 1) * n_local]
+        xs[r, : row.size] = row
     y, counts, over = sample_sort_sharded(xs, mesh, axis)
     if over:
         y, counts, over = sample_sort_sharded(xs, mesh, axis, slack=8.0)
@@ -52,13 +61,16 @@ def enumerate_basis_dnc_sharded(space, conserve_lst, val_lst, mesh,
     from quantum_basis_tpu.basis.enumerate import enumerate_basis_dnc
 
     P = int(mesh.shape[axis])
-    parts = []
-    for r in range(P):  # multi-host: each process computes only its r
-        part = enumerate_basis_dnc(space, conserve_lst, val_lst, leaf=leaf,
-                                   tile_select=(r, P), sort=False)
-        if part is None:
-            return None
-        parts.append(part)
+    # single-controller: all ranks' tile subsets in ONE dnc pass (the
+    # meet-in-the-middle halves are shared, not recomputed per rank). On a
+    # true multi-process group each process would instead call
+    # enumerate_basis_dnc(tile_select=(its_rank, P)) and feed only its own
+    # shard — the data path below (bucket exchange + local sorts) is
+    # identical either way.
+    parts = enumerate_basis_dnc(space, conserve_lst, val_lst, leaf=leaf,
+                                n_parts=P)
+    if parts is None:
+        return None
     return _merge_shards(parts, mesh, axis)
 
 

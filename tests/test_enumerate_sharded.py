@@ -46,3 +46,35 @@ def test_sharded_reps_enumeration_bit_identical():
     np.testing.assert_array_equal(host, dist)
     assert dim_h == dim_d == enumerate_basis(m.space, [c["Sz"]],
                                              [0.0]).size
+
+
+def test_n_parts_matches_tile_select_union():
+    """One-pass multi-part mode == per-rank tile_select calls, exactly."""
+    m, o = fermi_hubbard_square(4, 2)
+    args = (m.space, [o["Nup"], o["Ndn"]], [4.0, 4.0])
+    P = 8
+    parts = enumerate_basis_dnc(*args, leaf=1 << 6, n_parts=P)
+    assert len(parts) == P
+    for r in range(P):
+        ref = enumerate_basis_dnc(*args, leaf=1 << 6,
+                                  tile_select=(r, P), sort=False)
+        np.testing.assert_array_equal(parts[r], ref)
+
+
+@pytest.mark.multichip
+def test_merge_shards_skewed_parts():
+    """One dominant part must not overflow the sample-sort buckets: the
+    merge rebalances rows before the device sort (regression: _PAD
+    sentinels from max-size padding all landed in the last bucket)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from quantum_basis_tpu.parallel.enumerate_sharded import _merge_shards
+
+    mesh = basis_mesh(8)
+    rng = np.random.default_rng(0)
+    big = rng.choice(1 << 40, size=20000, replace=False).astype(np.int64)
+    parts = [big] + [np.empty(0, np.int64)] * 7  # all data on one rank
+    out = _merge_shards(parts, mesh, "b")
+    np.testing.assert_array_equal(out, np.sort(big))

@@ -181,3 +181,27 @@ def test_golden_chain16_momentum_sectors():
     for k in range(L):
         want = golden[k] if k <= 8 else golden[L - k]
         assert abs(got[k] - want) < 1e-8, (k, got[k], want)
+
+def test_measure_repr_cache_not_reused_across_reenumeration():
+    """Regression: the per-(sector, operator) MatvecRepr cache must miss
+    after the sector slot is re-enumerated with different quantum numbers
+    (mirror Sz sectors share momentum AND dimension, so a key without the
+    basis identity silently reused the stale device tables)."""
+    from tests.models_zoo import SP_HALF, heisenberg_chain
+    from quantum_basis_tpu import Opr
+
+    L = 8
+    m, c = heisenberg_chain(L)
+    sz0 = Opr(0, 0, False, SP_HALF["Sz"])
+
+    m.enumerate_basis_repr([0], [c["Sz"]], [1.0], sec=0)
+    m.locate_E0_lanczos(which="repr", sec=0)
+    up = m.measure_repr_static(sz0, 0, 0)
+    assert abs(up.real - 1.0 / L) < 1e-9
+
+    dim_up = m.dim_repr(0)
+    m.enumerate_basis_repr([0], [c["Sz"]], [-1.0], sec=0)
+    assert m.dim_repr(0) == dim_up  # mirror sector: key would have aliased
+    m.locate_E0_lanczos(which="repr", sec=0)
+    dn = m.measure_repr_static(sz0, 0, 0)
+    assert abs(dn.real + 1.0 / L) < 1e-9
