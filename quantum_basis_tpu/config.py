@@ -63,6 +63,13 @@ mixed_precision = False
 # stage then runs to the caller's tolerance from this warm start.
 mixed_precision_f32_tol = 1e-5
 
+# MXU pass count for the f32 dense kron bulk ("highest" = 6 bf16 passes =
+# full f32; "high" = 3 passes, ~21-bit mantissa — still f32-class, ~2x the
+# matmul rate on TPU). The bulk tier's output is always re-verified by the
+# exact-f64 residual gate, so "high" is safe whenever the f32 stage still
+# converges to mixed_precision_f32_tol; flip to "highest" if it stalls.
+kron_f32_precision = "high"
+
 # Directory for checkpoint files (reference uses ``out_Qckpt/``).
 ckpt_dir = "out_Qckpt"
 

@@ -168,9 +168,18 @@ class KronOp:
             raise NotImplementedError("KronOp is a real engine")
         psi = xr.reshape(self.na, self.nb)
         if self.layout == "dense":
+            from quantum_basis_tpu import config
+
+            # f64 stays at HIGHEST always; the f32 bulk tier may trade MXU
+            # passes for rate (config.kron_f32_precision) — its result is
+            # re-verified by the exact-f64 residual gate downstream
+            prec = lax.Precision.HIGHEST
+            if (self.dtype == jnp.dtype(jnp.float32)
+                    and config.kron_f32_precision == "high"):
+                prec = lax.Precision.HIGH
             (Ad,), (Bt,) = Aside, Bside
-            y = jnp.matmul(Ad, psi, precision=lax.Precision.HIGHEST)
-            y = y + jnp.matmul(psi, Bt, precision=lax.Precision.HIGHEST)
+            y = jnp.matmul(Ad, psi, precision=prec)
+            y = y + jnp.matmul(psi, Bt, precision=prec)
         else:
             (Ac, Av), (Bc, Bv) = Aside, Bside
             y = jnp.zeros_like(psi)
