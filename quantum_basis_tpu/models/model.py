@@ -939,8 +939,15 @@ class Model:
                                            bounds=bounds)
             mu = np.asarray(mu, dtype=np.float64)
         else:
-            mu, e_min, e_max = kpm_moments(dst.matvec, v, n_moments,
+            # sector-dim fallback (label space too large for the projected
+            # engine): the Chebyshev recurrence is contractive and the
+            # Jackson resolution is ~1e-2, so the f32 Pallas BSR tier (when
+            # routed for this sector) carries the moments ~2 orders of
+            # magnitude faster per nnz than the f64 gather ELL
+            mv = self._repr_bsr32(dst) or dst.matvec
+            mu, e_min, e_max = kpm_moments(mv, v, n_moments,
                                            bounds=bounds)
+            mu = np.asarray(mu, dtype=np.float64)
         return nrm, mu, e_min, e_max
 
     def _repr_to_full(self, sector, c):
