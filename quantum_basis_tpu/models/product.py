@@ -151,7 +151,11 @@ class ProductModel:
         from quantum_basis_tpu.solvers.restarted import (_solver_log,
                                                          eigs_smallest)
 
-        key = f"prodE0_dim{self.dim}_nev{nev}_h{self._fingerprint():08x}"
+        # factor dims spelled out: transposed sectors like Hubbard (9,8)
+        # vs (8,7) share dim = na*nb and the same Hamiltonian terms — only
+        # the factor split (and the coupling bytes) tells them apart
+        key = (f"prodE0_{self.na}x{self.nb}_nev{nev}"
+               f"_h{self._fingerprint():08x}")
         if self.mesh is not None:
             ndev = int(np.prod(list(self.mesh.shape.values())))
             key += f"_mesh{ndev}"
