@@ -82,6 +82,21 @@ def main():
             "E0_ritz_bound": hubbard["lanczos"]["E0_ritz"],
             "backend": hubbard["backend"],
         }
+    gaps = _load("HUBBARD4x4_GAPS.json")
+    if gaps is None:
+        part = _load("HUBBARD4x4_GAPS.json.partial")
+        # the .partial file is the bare per-sector dict
+        gaps = {"sectors": part, "status": "partial"} if part else None
+    if gaps and gaps.get("sectors"):
+        published["fermi_hubbard_4x4_gaps"] = {
+            "sectors": {k: {kk: s[kk] for kk in
+                            ("Nup", "Ndn", "dim", "E0", "residual_f64")
+                            if kk in s}
+                        for k, s in gaps["sectors"].items()},
+            "spin_gap": gaps.get("spin_gap"),
+            "charge_gap": gaps.get("charge_gap"),
+            "backend": gaps.get("backend"),
+        }
     if sqw24:
         published["kagome24_sqw_kpm"] = {
             k: sqw24[k] for k in ("workload", "n_sites", "dim_k0", "k0",
@@ -196,6 +211,19 @@ def main():
             f"[{'OK' if g['ok'] else 'FAIL'}], fresh on chip "
             f"{g['wall_s']}s", "",
         ]
+    if gaps and gaps.get("sectors"):
+        lines += ["## Fermi-Hubbard 4x4 spin/charge gap sectors", ""]
+        for k, s in gaps["sectors"].items():
+            r = s.get("residual_f64")
+            rtxt = f"resid {r:.2e}" if r is not None else "resumed"
+            lines.append(
+                f"- E0({s['Nup']},{s['Ndn']}) = {s['E0']:.12f} "
+                f"(dim {s['dim']:,}, {rtxt})"
+                + (f" [{s['source']}]" if s.get("source") else ""))
+        if gaps.get("spin_gap") is not None:
+            lines.append(f"- spin gap Delta_s = {gaps['spin_gap']:.9f}; "
+                         f"charge gap Delta_c = {gaps['charge_gap']:.9f}")
+        lines.append("")
     if benches:
         lines += ["## Chip SpMV bench (bench.py, L=24 chain Sz=0)", ""]
         for name, b in benches:
