@@ -181,6 +181,18 @@ def next_program_key() -> int:
 bsr_blowup_max = 400.0
 prefer_bsr = None
 
+# Absolute HBM cap for routed BSR blocks (stored f32 values x 4 bytes, x2
+# when complex): the blowup ratio alone would admit multi-GB block arrays
+# at large sector dims. 2 GiB leaves room for Krylov state on a 16 GB chip.
+bsr_stored_max_bytes = 2 << 30
+
+# Dynamics auto-routing only CONSIDERS BSR below this sector dim: deciding
+# requires building the explicit ELL (an extraction pass + a device->host
+# pull), which is pure waste at dims where scattered momentum-sector
+# structure makes rejection near-certain (tested winners are <= 1e4 rows).
+# Solve paths that build the ELL anyway consult the stats directly.
+bsr_auto_max_dim = 1 << 16
+
 
 # KPM dynamics on momentum sectors: above this full label-space size the
 # Chebyshev recurrence runs on the sector-dim repr row kernel instead of

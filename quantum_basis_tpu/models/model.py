@@ -943,8 +943,18 @@ class Model:
             # engine): the Chebyshev recurrence is contractive and the
             # Jackson resolution is ~1e-2, so the f32 Pallas BSR tier (when
             # routed for this sector) carries the moments ~2 orders of
-            # magnitude faster per nnz than the f64 gather ELL
-            mv = self._repr_bsr32(dst) or dst.matvec
+            # magnitude faster per nnz than the f64 gather ELL. Routing is
+            # only EVALUATED below bsr_auto_max_dim — deciding costs an
+            # explicit ELL build, wasted where rejection is near-certain —
+            # but an already-routed engine (e.g. from a solve) is reused
+            # at any dim.
+            from quantum_basis_tpu import config as _c
+
+            mv = getattr(dst, "_bsr32", None)
+            if mv is None and (dst.dim <= _c.bsr_auto_max_dim
+                               or _c.prefer_bsr):
+                mv = self._repr_bsr32(dst)
+            mv = mv or dst.matvec
             mu, e_min, e_max = kpm_moments(mv, v, n_moments,
                                            bounds=bounds)
             mu = np.asarray(mu, dtype=np.float64)
@@ -1231,8 +1241,11 @@ class Model:
             if platform == "tpu" and ell.width > 0:
                 from quantum_basis_tpu.ops.pallas_bsr import bsr_fill_stats
 
-                use = (bsr_fill_stats(ell)["blowup"]
-                       <= config.bsr_blowup_max)
+                st = bsr_fill_stats(ell)
+                stored_bytes = st["stored"] * 4 * (
+                    2 if ell.vim is not None else 1)
+                use = (st["blowup"] <= config.bsr_blowup_max
+                       and stored_bytes <= config.bsr_stored_max_bytes)
             else:
                 use = False
         mv = None
