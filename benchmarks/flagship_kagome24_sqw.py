@@ -100,11 +100,32 @@ def main():
 
     from quantum_basis_tpu.utils.ckpt import active_store
 
+    # Release the GS-phase HBM before the q loop (observed: attempts 1-2
+    # died RESOURCE_EXHAUSTED at the first q-sector's moments): the shared
+    # projected-engine templates (full-space 2^24 params, f32 + f64) and
+    # the solver program caches pin several GB that the sector-dim KPM
+    # fallback never touches.
+    import gc
+
+    from quantum_basis_tpu.solvers import restarted as _restarted
+    from quantum_basis_tpu.solvers import rqi as _rqi
+
+    m._fsrepr_shared = {}
+    m._rolls = False
+    sec0 = m.sec_repr[0]
+    if getattr(sec0, "_fsrepr_cache", None):
+        sec0._fsrepr_cache = {}
+    _restarted._DOPS_CACHE.clear()
+    _rqi._PROGRAM_CACHE.clear()
+    gc.collect()
+
     store = active_store()
     runs = []
     for qx in range(Lx):
         for qy in range(Ly):
             t0 = time.time()
+            m.sec_repr.pop(1, None)  # drop the previous q-sector's tables
+            gc.collect()
             kt = [(k0[0] - qx) % Lx, (k0[1] - qy) % Ly]
             # key carries k0 too: moments are defined relative to the GS
             # sector, so a rerun with a different --k0 must not reuse them
