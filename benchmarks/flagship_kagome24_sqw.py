@@ -61,6 +61,12 @@ def main():
                     help="GS momentum; default from FLAGSHIP_kagome24.json")
     ap.add_argument("--maxit", type=int, default=4000)
     ap.add_argument("--out", default="SQW_kagome24")
+    ap.add_argument("--kpm-fs-max", type=int, default=1 << 24,
+                    help="run the Chebyshev recurrence on the projected "
+                         "full-space engine up to this label-space size "
+                         "(the f32 fused scan is chip-proven at 2^24 by "
+                         "this run's own GS solves; the per-row repr "
+                         "kernel crashed the worker at kagome-24 scale)")
     args = ap.parse_args()
 
     os.environ.setdefault("QBX_COMPILE_CACHE",
@@ -70,6 +76,7 @@ def main():
     initialize(quiet=True, mixed_precision=True, enable_checkpoint=True)
     from quantum_basis_tpu import config
     config.solver_log_dir = "out_logs"
+    config.kpm_fullspace_max_N = int(args.kpm_fs_max)
     t_all = time.time()
     Lx, Ly = args.lx, args.ly
 
@@ -100,26 +107,59 @@ def main():
 
     from quantum_basis_tpu.utils.ckpt import active_store
 
-    # Release the GS-phase HBM before the q loop (observed: attempts 1-2
-    # died RESOURCE_EXHAUSTED at the first q-sector's moments): the shared
-    # projected-engine templates (full-space 2^24 params, f32 + f64) and
-    # the solver program caches pin several GB that the sector-dim KPM
-    # fallback never touches.
+    # Release the GS-phase f64 HBM before the q loop (observed: attempts
+    # died RESOURCE_EXHAUSTED / crashed the worker at the first q-sector's
+    # moments): the f64 projected-engine template (full-space 2^24 params)
+    # and the solver program caches pin several GB the f32 moment
+    # recurrence never touches. The f32 template is KEPT — it carries the
+    # Chebyshev recurrence for every q.
     import gc
+
+    import jax.numpy as jnp
 
     from quantum_basis_tpu.solvers import restarted as _restarted
     from quantum_basis_tpu.solvers import rqi as _rqi
 
-    m._fsrepr_shared = {}
-    m._rolls = False
+    m._fsrepr_shared = {k: v for k, v in
+                        getattr(m, "_fsrepr_shared", {}).items()
+                        if k == jnp.dtype(jnp.float32)}
     sec0 = m.sec_repr[0]
     if getattr(sec0, "_fsrepr_cache", None):
-        sec0._fsrepr_cache = {}
+        sec0._fsrepr_cache = {
+            k: v for k, v in sec0._fsrepr_cache.items()
+            if k == jnp.dtype(jnp.float32)}
     _restarted._DOPS_CACHE.clear()
     _rqi._PROGRAM_CACHE.clear()
     gc.collect()
 
+    # Shared spectral bounds, computed ONCE on the full-space f32 engine
+    # confined to the Sz=0 subspace (covers every momentum sector, and 0 —
+    # the projector complement's eigenvalue). Replaces the per-q
+    # energy_scale on the per-row repr kernel, the exact crash site of
+    # watchdog attempts 1-6.
+    from quantum_basis_tpu.solvers.chebyshev import energy_scale
+    from quantum_basis_tpu.utils.rng import vec_randomize
+
+    bk = f"sqw24_bounds_h{m._ham_fingerprint():08x}"
     store = active_store()
+    brec = store.load(bk) if store is not None else None
+    if brec is not None:
+        bounds = (float(brec["e_min"]), float(brec["e_max"]))
+    else:
+        t0 = time.time()
+        fs0 = sec0._fsrepr_cache[jnp.dtype(jnp.float32)] \
+            if getattr(sec0, "_fsrepr_cache", None) else None
+        if fs0 is None:
+            fs0 = m._fullspace_repr_op(sec0, dtype=jnp.float32)
+        re, _ = vec_randomize(fs0.N, seed=7)
+        v0 = (jnp.asarray(re * np.asarray(fs0.mask), jnp.float32), None)
+        e_min, e_max = energy_scale(fs0, v0)
+        bounds = (min(e_min, E0 - 0.1), max(e_max, 0.1))
+        if store is not None:
+            store.save(bk, {"e_min": bounds[0], "e_max": bounds[1]})
+        print(f"shared bounds [{bounds[0]:.3f}, {bounds[1]:.3f}] "
+              f"[{time.time()-t0:.1f}s]", flush=True)
+
     runs = []
     for qx in range(Lx):
         for qy in range(Ly):
@@ -140,7 +180,8 @@ def main():
             else:
                 m.enumerate_basis_repr(kt, [Sz_tot], [0.0], sec=1)
                 nrm, mu, e_min, e_max = m.measure_repr_dynamic_kpm(
-                    sz_q(lat, qx, qy, Lx, Ly), 0, 1, args.n_moments)
+                    sz_q(lat, qx, qy, Lx, Ly), 0, 1, args.n_moments,
+                    bounds=bounds)
                 if store is not None:
                     store.save(ck, {"nrm": nrm, "mu": np.asarray(mu),
                                     "e_min": e_min, "e_max": e_max})

@@ -905,32 +905,27 @@ class Model:
         # basis embeds isometrically in the full space; dual-path-tested)
         from quantum_basis_tpu import config as _cfg
 
-        # size-gate BEFORE building: fs.N is the label-space size, known
-        # without constructing the template (which costs projector params,
-        # QN masks and an f64 twin — pure waste on the fallback path)
-        fs = (None if self.space.label_space > _cfg.kpm_fullspace_max_N
-              else self._fullspace_repr_op(dst))
-        if fs is not None and fs.N > _cfg.kpm_fullspace_max_N:
-            # the fused Chebyshev-recurrence program over the projected
-            # full-space engine is out of HBM budget at this label-space
-            # size on a 16 GB chip (measured at N = 2^24 complex: the f64
-            # program needs 17 GB at compile; the f32 one compiled but
-            # crashed the TPU worker at run). The sector-dim repr row
-            # kernel below carries the moments instead — vectors are
-            # sector-sized (~MBs), and the projected engine still carries
-            # the sector SOLVES.
-            fs = None
-        if fs is not None:
-            import jax
-            import jax.numpy as jnp
+        import jax
+        import jax.numpy as jnp
 
-            if jax.devices()[0].platform == "tpu":
-                # f32 template: the rescaled recurrence is contractive
-                # (|Ts| <= 1), so f32 moment noise (~1e-6) sits far below
-                # the Jackson kernel resolution pi*(e_max-e_min)/n (~1e-2)
-                fs32 = self._fullspace_repr_op(dst, dtype=jnp.float32)
-                if fs32 is not None:
-                    fs = fs32
+        # size-gate BEFORE building: fs.N is the label-space size, known
+        # without constructing the template (which costs projector params
+        # and QN masks — pure waste on the fallback path). Above the gate
+        # the fused Chebyshev-recurrence program does not fit HBM (the f64
+        # program measured 17 GB at compile for N = 2^24 complex); the
+        # sector-dim fallback below carries the moments instead. On TPU
+        # the f32 template is built FIRST and the f64 twin is skipped
+        # entirely: the rescaled recurrence is contractive (|Ts| <= 1), so
+        # f32 moment noise (~1e-6) sits far below the Jackson kernel
+        # resolution pi*(e_max-e_min)/n (~1e-2).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        fs = None
+        if self.space.label_space <= _cfg.kpm_fullspace_max_N:
+            if on_tpu:
+                fs = self._fullspace_repr_op(dst, dtype=jnp.float32)
+            if fs is None:
+                fs = self._fullspace_repr_op(dst)
+        if fs is not None:
             vf = self._repr_to_full(dst, v)
             dt = getattr(fs, "dtype", jnp.float64)
             vf = (vf[0].astype(dt),
