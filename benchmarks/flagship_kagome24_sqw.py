@@ -152,7 +152,11 @@ def main():
         if fs0 is None:
             fs0 = m._fullspace_repr_op(sec0, dtype=jnp.float32)
         re, _ = vec_randomize(fs0.N, seed=7)
-        v0 = (jnp.asarray(re * np.asarray(fs0.mask), jnp.float32), None)
+        vr = jnp.asarray(re * np.asarray(fs0.mask), jnp.float32)
+        # the projected engine is force-complex: the seed needs an
+        # explicit (zero) imaginary part or the Lanczos scan carry
+        # changes pytree structure after the first apply
+        v0 = (vr, jnp.zeros_like(vr))
         e_min, e_max = energy_scale(fs0, v0)
         bounds = (min(e_min, E0 - 0.1), max(e_max, 0.1))
         if store is not None:
