@@ -200,3 +200,10 @@ bsr_auto_max_dim = 1 << 16
 # program exceeds a 16 GB chip at N = 2^24 complex (measured: f64 compile
 # OOM at 17 GB; f32 compiled but crashed the TPU worker at run).
 kpm_fullspace_max_N = 1 << 23
+
+# Chunk length for the full-space KPM recurrence: programs of <= this many
+# scan steps with a device-resident carry between calls. One fused
+# 190-step program crashed the TPU worker at N = 2^24 complex f32 where
+# 128-step-class programs run fine; chunks keep each program in the
+# proven class. None = single fused program.
+kpm_fullspace_chunk = 64

@@ -931,7 +931,8 @@ class Model:
             vf = (vf[0].astype(dt),
                   vf[1].astype(dt) if vf[1] is not None else None)
             mu, e_min, e_max = kpm_moments(fs, vf, n_moments,
-                                           bounds=bounds)
+                                           bounds=bounds,
+                                           chunk=_cfg.kpm_fullspace_chunk)
             mu = np.asarray(mu, dtype=np.float64)
         else:
             # sector-dim fallback (label space too large for the projected

@@ -61,12 +61,19 @@ def _make_cheb_apply(matvec, c, d, n_coeff):
     return jax.jit(run)
 
 
-def kpm_moments(matvec, v0, n_moments: int, bounds=None, slack: float = 0.05):
+def kpm_moments(matvec, v0, n_moments: int, bounds=None, slack: float = 0.05,
+                chunk: int | None = None):
     """KPM moments mu_n = <v0| T_n(Hs) |v0> for n < n_moments.
 
     ``bounds`` = (e_min, e_max) or None (estimated via energy_scale).
     Returns (mu (n_moments,), e_min, e_max). Use with a Jackson kernel to
     reconstruct spectral densities.
+
+    ``chunk``: run the recurrence as ceil((n-2)/chunk) jitted programs of
+    <= chunk scan steps with a device-resident carry instead of one fused
+    program. Needed at full-space scale on a 16 GB chip: the single
+    190-step program crashed the TPU worker where 128-step-class programs
+    (the bounds Lanczos) run fine; the moments are bit-identical.
     """
     import jax
     import jax.numpy as jnp
@@ -84,25 +91,64 @@ def kpm_moments(matvec, v0, n_moments: int, bounds=None, slack: float = 0.05):
         y = mv_apply(params, x)
         return cx.scale(cx.axpy(-c, x, y), inv_d)
 
-    def run(params, x):
-        t_prev = x
-        t_cur = hs(params, x)
-        mu0 = cx.vdot_re(x, t_prev)
-        mu1 = cx.vdot_re(x, t_cur)
-
+    def body_from(params, x):
+        # params/x arrive as jit ARGUMENTS of the enclosing program —
+        # closing over device arrays would bake them into the HLO as
+        # literals (hundreds of MB past the remote compiler's limit)
         def body(carry, _):
             t_prev, t_cur = carry
             t_next = cx.sub(cx.scale(hs(params, t_cur), 2.0), t_prev)
             mu = cx.vdot_re(x, t_next)
             return (t_cur, t_next), mu
+        return body
 
-        _, mus = jax.lax.scan(body, (t_prev, t_cur), None,
-                              length=n_moments - 2)
-        return mu0, mu1, mus
+    if chunk is None:
+        def run(params, x):
+            t_prev = x
+            t_cur = hs(params, x)
+            mu0 = cx.vdot_re(x, t_prev)
+            mu1 = cx.vdot_re(x, t_cur)
 
-    mu0, mu1, mus = jax.jit(run)(mv_params, v0)
-    mu = np.concatenate([[float(mu0), float(mu1)], np.asarray(mus)])
-    return mu, e_min, e_max
+            def body(carry, _):
+                t_prev, t_cur = carry
+                t_next = cx.sub(cx.scale(hs(params, t_cur), 2.0), t_prev)
+                mu = cx.vdot_re(x, t_next)
+                return (t_cur, t_next), mu
+
+            _, mus = jax.lax.scan(body, (t_prev, t_cur), None,
+                                  length=n_moments - 2)
+            return mu0, mu1, mus
+
+        mu0, mu1, mus = jax.jit(run)(mv_params, v0)
+        mu = np.concatenate([[float(mu0), float(mu1)], np.asarray(mus)])
+        return mu, e_min, e_max
+
+    @jax.jit
+    def init(params, x):
+        t_cur = hs(params, x)
+        return t_cur, cx.vdot_re(x, x), cx.vdot_re(x, t_cur)
+
+    runs = {}  # one executable per distinct chunk length (<= 2)
+
+    def run_chunk(x, t_prev, t_cur, nsteps):
+        if nsteps not in runs:
+            def prog(params, xx, tp, tc):
+                (tp, tc), mus = jax.lax.scan(
+                    body_from(params, xx), (tp, tc), None, length=nsteps)
+                return tp, tc, mus
+            runs[nsteps] = jax.jit(prog)
+        return runs[nsteps](mv_params, x, t_prev, t_cur)
+
+    t_cur, mu0, mu1 = init(mv_params, v0)
+    mu = [float(mu0), float(mu1)]
+    t_prev = v0
+    left = n_moments - 2
+    while left > 0:
+        n = min(chunk, left)
+        t_prev, t_cur, mus = run_chunk(v0, t_prev, t_cur, n)
+        mu.extend(np.asarray(mus).tolist())
+        left -= n
+    return np.asarray(mu, dtype=np.float64), e_min, e_max
 
 
 def jackson_kernel(n_moments: int) -> np.ndarray:
