@@ -128,27 +128,23 @@ def kpm_moments(matvec, v0, n_moments: int, bounds=None, slack: float = 0.05,
         t_cur = hs(params, x)
         return t_cur, cx.vdot_re(x, x), cx.vdot_re(x, t_cur)
 
-    runs = {}  # one executable per distinct chunk length (<= 2)
-
-    def run_chunk(x, t_prev, t_cur, nsteps):
-        if nsteps not in runs:
-            def prog(params, xx, tp, tc):
-                (tp, tc), mus = jax.lax.scan(
-                    body_from(params, xx), (tp, tc), None, length=nsteps)
-                return tp, tc, mus
-            runs[nsteps] = jax.jit(prog)
-        return runs[nsteps](mv_params, x, t_prev, t_cur)
+    # every chunk runs the SAME length (one compiled program total): the
+    # final partial chunk computes a few moments past n_moments and the
+    # surplus is truncated — compute is trivial next to a second
+    # multi-minute compile of a distinct-length program on the tunnel
+    @jax.jit
+    def prog(params, xx, tp, tc):
+        (tp, tc), mus = jax.lax.scan(
+            body_from(params, xx), (tp, tc), None, length=chunk)
+        return tp, tc, mus
 
     t_cur, mu0, mu1 = init(mv_params, v0)
     mu = [float(mu0), float(mu1)]
     t_prev = v0
-    left = n_moments - 2
-    while left > 0:
-        n = min(chunk, left)
-        t_prev, t_cur, mus = run_chunk(v0, t_prev, t_cur, n)
+    while len(mu) < n_moments:
+        t_prev, t_cur, mus = prog(mv_params, v0, t_prev, t_cur)
         mu.extend(np.asarray(mus).tolist())
-        left -= n
-    return np.asarray(mu, dtype=np.float64), e_min, e_max
+    return np.asarray(mu[:n_moments], dtype=np.float64), e_min, e_max
 
 
 def jackson_kernel(n_moments: int) -> np.ndarray:
